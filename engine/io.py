@@ -1,0 +1,100 @@
+"""Table IO: fixed-schema Parquet scans for the driver testdata (SURVEY.md §2.1 S1).
+
+Schemas are declared, never inferred — at 10^12 rows schema inference is a full
+scan. ``read_table`` asserts the on-disk schema matches the declared one (cheap:
+parquet footer only) so drift fails fast instead of corrupting features.
+
+The Iceberg-or-Parquet ``TableIO`` facade (S2/S3) lives in engine/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_I32 = T.IntegerType()
+_I64 = T.LongType()
+_STR = T.StringType()
+_DBL = T.DoubleType()
+_TS = T.TimestampNTZType()
+
+
+def _st(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return T.StructType([T.StructField(n, t, True) for n, t in fields])
+
+
+# Driver testdata schemas, verified against the parquet footers (FIXTURES.md §A).
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _st(("r_regionkey", _I32), ("r_name", _STR)),
+    "nation": _st(("n_nationkey", _I32), ("n_name", _STR), ("n_regionkey", _I32)),
+    "customer": _st(
+        ("c_custkey", _I64), ("c_name", _STR), ("c_nationkey", _I32),
+        ("c_acctbal", _DBL), ("c_mktsegment", _STR),
+    ),
+    "supplier": _st(
+        ("s_suppkey", _I64), ("s_name", _STR), ("s_nationkey", _I32), ("s_acctbal", _DBL),
+    ),
+    "part": _st(
+        ("p_partkey", _I64), ("p_name", _STR), ("p_brand", _STR),
+        ("p_type", _STR), ("p_size", _I32), ("p_retailprice", _DBL),
+    ),
+    "orders": _st(
+        ("o_orderkey", _I64), ("o_custkey", _I64), ("o_orderstatus", _STR),
+        ("o_totalprice", _DBL), ("o_orderdate", _TS), ("o_orderpriority", _STR),
+    ),
+    "lineitem": _st(
+        ("l_orderkey", _I64), ("l_partkey", _I64), ("l_suppkey", _I64),
+        ("l_linenumber", _I32), ("l_quantity", _DBL), ("l_extendedprice", _DBL),
+        ("l_discount", _DBL), ("l_tax", _DBL), ("l_returnflag", _STR),
+        ("l_linestatus", _STR), ("l_shipdate", _TS),
+    ),
+    "events": _st(
+        ("event_id", _I64), ("ts", _TS), ("user_id", _I64),
+        ("event_type", _STR), ("value", _DBL), ("props", _STR),
+    ),
+    "documents": _st(
+        ("doc_id", _I64), ("text", _STR), ("lang", _STR),
+        ("source", _STR), ("n_chars", _I64),
+    ),
+    "embeddings": _st(
+        ("vec_id", _I64),
+        ("embedding", T.ArrayType(T.FloatType(), True)),
+        ("label", _I32),
+    ),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixed-schema vectorized Parquet scan with pushdown/pruning intact."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = SCHEMAS.get(name)
+    if schema is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def get_spark(
+    app: str = "afg-engine",
+    cores: int | str = "*",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Local SparkSession with the engine's standard configuration.
+
+    On a real cluster the same configs are passed via spark-submit --conf; the
+    builder here only fills defaults (SparkSession.builder is a no-op for an
+    already-running session except for modifiable confs).
+    """
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,124 @@
+"""Explicit skew handling (BASELINE.json:14 "skew handled explicitly").
+
+AQE's skew-join split only covers sort-merge / shuffled-hash JOINS — it does
+NOT help groupBy aggregations or window functions, where a hot ``doc_id`` /
+``source`` key still lands on one task. So the engine provides:
+
+* ``salted_join``   — A3: replicate the small side K ways, salt the fact side;
+  no single task receives a whole hot key.
+* ``two_level_agg`` — G2: partial aggregate on (key, salt), then merge on key.
+  sum/count/min/max compose exactly; avg/stddev are derived from
+  (sum, sum of squares, count) so the two-level result is bit-for-bit the
+  algebraic formula, allclose to single-level.
+
+Salt comes from a deterministic hash of a per-row unique column when one is
+available (resume-stable), else from ``rand(seed)`` — never from
+``monotonically_increasing_id`` arithmetic that AQE renumbering could change
+(SURVEY.md §7 risk 5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__afg_salt"
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def with_salt(
+    df: DataFrame,
+    buckets: int,
+    unique_col: str | None = None,
+    salt_col: str = _SALT,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a salt column in [0, buckets)."""
+    if unique_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(unique_col), F.lit(seed)), F.lit(buckets))
+    else:
+        salt = (F.rand(seed) * buckets).cast("int")
+    return df.withColumn(salt_col, salt.cast("int"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+    fact_unique_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact side, replicate the dim side K ways.
+
+    The dim side is exploded by ``sequence(0, K-1)`` (A8 replication) so every
+    (key, salt) bucket finds its dim row; each hot key's rows spread over K
+    tasks instead of one.
+    """
+    keys = _as_list(on)
+    fact_s = with_salt(fact, buckets, unique_col=fact_unique_col)
+    dim_r = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = fact_s.join(dim_r, on=keys + [_SALT], how=how)
+    return out.drop(_SALT)
+
+
+def two_level_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    agg_specs: dict[str, Sequence[str]],
+    buckets: int = 16,
+    unique_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof groupBy: partial agg on (key, salt) → final merge on key.
+
+    ``agg_specs`` maps column → aggregates among {count,sum,avg,min,max,stddev}.
+    Output column names: ``{col}_{fn}`` (count over a column counts non-nulls,
+    matching SQL COUNT(col)).
+    """
+    keylist = _as_list(keys)
+    salted = with_salt(df, buckets, unique_col=unique_col)
+
+    partials, finals = [], []
+    for c, fns in agg_specs.items():
+        need = set(fns)
+        if need & {"sum", "avg", "stddev"}:
+            partials.append(F.sum(c).alias(f"__s_{c}"))
+        if need & {"count", "avg", "stddev"}:
+            partials.append(F.count(c).alias(f"__n_{c}"))
+        if "stddev" in need:
+            partials.append(F.sum(F.col(c) * F.col(c)).alias(f"__q_{c}"))
+        if "min" in need:
+            partials.append(F.min(c).alias(f"__min_{c}"))
+            finals.append(F.min(f"__min_{c}").alias(f"{c}_min"))
+        if "max" in need:
+            partials.append(F.max(c).alias(f"__max_{c}"))
+            finals.append(F.max(f"__max_{c}").alias(f"{c}_max"))
+        if "sum" in need:
+            finals.append(F.sum(f"__s_{c}").alias(f"{c}_sum"))
+        if "count" in need:
+            finals.append(F.sum(f"__n_{c}").cast("long").alias(f"{c}_count"))
+        if "avg" in need:
+            finals.append(
+                (F.sum(f"__s_{c}") / F.sum(f"__n_{c}")).alias(f"{c}_avg")
+            )
+        if "stddev" in need:
+            n = F.sum(f"__n_{c}")
+            s = F.sum(f"__s_{c}")
+            q = F.sum(f"__q_{c}")
+            # sample stddev, matching F.stddev / SQL STDDEV
+            var = (q - s * s / n) / (n - F.lit(1))
+            finals.append(
+                F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+                .otherwise(F.lit(None))
+                .alias(f"{c}_stddev")
+            )
+
+    partial = salted.groupBy(*keylist, _SALT).agg(*partials)
+    return partial.groupBy(*keylist).agg(*finals)
