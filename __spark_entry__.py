@@ -1,38 +1,484 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares against at
+sf0.01 (row-count + schema + order-insensitive value-hash).
+
+Float discipline for hash-exact comparison: aggregate sums go through
+DECIMAL(18,2) (exact in both engines, cast to double at the end); copied
+values (as-of / lag / ffill) are bit-exact by construction; per-row arithmetic
+on identical operands (min-max normalize) is IEEE-deterministic. Sum-order-
+dependent float aggregates (stddev and friends) are covered by the pytest
+allclose suite instead (tests/, SURVEY.md §5.1).
+
+Dialect notes: Spark ``dayofweek`` = DuckDB ``dayofweek + 1`` (Sunday base 1 vs
+0); timestamps are TIMESTAMP_NTZ in Spark, naive TIMESTAMP in DuckDB —
+identical wall-clock values with session TZ pinned to UTC.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from engine.asof import asof_join
+from engine.io import read_table
+from engine.skew import salted_join, two_level_agg
+from engine.transforms.column import direct_features, minmax_normalize
+from engine.transforms.row import apply_row_features
+from engine.transforms.table import agg_features
+from engine.tstools import epoch_micros
+from engine.window_ops import (
+    backward_fill,
+    cumulative_stats,
+    forward_fill,
+    lag_features,
+    rolling_aggregates,
+    sessionize,
+    top_k_per_group,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _events(spark, sf_dir):
+    return read_table(spark, sf_dir, "events")
+
+
+def _probe_state(spark, sf_dir):
+    """Split events into probes (clicks) and state (everything else)."""
+    e = _events(spark, sf_dir)
+    probes = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    state = e.where(F.col("event_type") != "click").select(
+        "user_id", "ts", "value", F.col("event_type").alias("etype")
+    )
+    return probes, state
+
+
+_PROBE_STATE_SQL = """
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+s AS (SELECT user_id, ts, value, event_type AS etype FROM events WHERE event_type <> 'click')
+"""
+
+# events with deterministic nulls injected (ffill/bfill fixture: errors lose value)
+_NULLS_SQL = """
+e AS (SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n
+      FROM events)
+"""
+
+
+def _events_with_nulls(spark, sf_dir):
+    return _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("value_n"),
+    )
+
+
+# ---------------------------------------------------------------- queries ----
+
+def q_asof_union(spark, sf_dir):
+    probes, state = _probe_state(spark, sf_dir)
+    return asof_join(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value", "etype"], suffix="_last", strategy="union",
+    )
+
+
+def q_asof_merge(spark, sf_dir):
+    probes, state = _probe_state(spark, sf_dir)
+    return asof_join(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value", "etype"], suffix="_last", strategy="merge",
+    )
+
+
+def q_asof_strict(spark, sf_dir):
+    probes, state = _probe_state(spark, sf_dir)
+    return asof_join(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value", "etype"], suffix="_last", strict=True, strategy="union",
+    )
+
+
+def q_ffill(spark, sf_dir):
+    e = _events_with_nulls(spark, sf_dir)
+    return forward_fill(e, "user_id", "ts", ["value_n"], out_suffix="_f")
+
+
+def q_bfill(spark, sf_dir):
+    e = _events_with_nulls(spark, sf_dir)
+    return backward_fill(e, "user_id", "ts", ["value_n"], out_suffix="_b")
+
+
+def q_lag_lead(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return lag_features(e, "user_id", "ts", ["value"], lags=[1, 2], leads=[1])
+
+
+def q_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return sessionize(e, "user_id", "ts", gap="30 minutes")
+
+
+def q_session_agg(spark, sf_dir):
+    e = _events(spark, sf_dir).select("user_id", "ts", "value")
+    s = sessionize(e, "user_id", "ts", gap="30 minutes")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(epoch_micros("ts")) - F.min(epoch_micros("ts"))).alias("span_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+def q_rolling_1h(spark, sf_dir):
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec")
+    )
+    r = rolling_aggregates(e, "user_id", "ts", {"vdec": ["count", "sum"]}, window="1 hour")
+    return r.select(
+        "event_id", "user_id", "ts",
+        F.col("vdec_count_1hour").alias("n_1h"),
+        F.col("vdec_sum_1hour").cast("double").alias("sum_1h"),
+    )
+
+
+def q_cumulative(spark, sf_dir):
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec")
+    )
+    c = cumulative_stats(e, "user_id", "ts", {"vdec": ["sum", "count"]})
+    return c.select(
+        "event_id", "user_id", "ts",
+        F.col("vdec_cumsum").cast("double").alias("cum_sum"),
+        F.col("vdec_cumcount").alias("cum_n"),
+    )
+
+
+def q_topk_latest(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    return top_k_per_group(e, "user_id", "ts", k=3, desc=True, tiebreak="event_id")
+
+
+def q_direct_features(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    return direct_features(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        customer, fk="o_custkey", parent_key="c_custkey",
+        cols=["c_mktsegment", "c_acctbal"], prefix="cust_",
+    )
+
+
+def q_agg_features(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "pdec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    a = agg_features(orders, "o_custkey", {"o_orderkey": ["count"], "pdec": ["sum", "min", "max"]})
+    return a.select(
+        "o_custkey",
+        F.col("o_orderkey_count").alias("n_orders"),
+        F.col("pdec_sum").cast("double").alias("total_spend"),
+        F.col("pdec_min").cast("double").alias("min_price"),
+        F.col("pdec_max").cast("double").alias("max_price"),
+    )
+
+
+def q_two_level_agg(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn("vdec", F.col("value").cast("decimal(18,2)"))
+    a = two_level_agg(e, "event_type", {"vdec": ["count", "sum"]}, buckets=8, unique_col="event_id")
+    return a.select(
+        "event_type",
+        F.col("vdec_count").alias("n"),
+        F.col("vdec_sum").cast("double").alias("value_sum"),
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    j = salted_join(
+        e.select("event_id", "event_type"), dim, on="event_type",
+        buckets=8, fact_unique_col="event_id",
+    )
+    return j.select("event_id", "event_type", "type_count")
+
+
+def q_minmax(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "value")
+    return minmax_normalize(e, ["value"], suffix="_mm")
+
+
+def q_row_features_text(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents")
+    out = apply_row_features(
+        d.select("doc_id", "text", "n_chars"),
+        [
+            ("text_len", "length", "text"),
+            ("n_words", "n_words", "text"),
+            ("n_digits", "n_digits", "text"),
+        ],
+    )
+    return out.withColumn(
+        "n_unique_words", F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    ).drop("text")
+
+
+def q_row_features_time(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return apply_row_features(
+        e.select("event_id", "ts", "value"),
+        [
+            ("h", "hour", "ts"),
+            ("dw", "dayofweek", "ts"),
+            ("mo", "month", "ts"),
+            ("wknd", "is_weekend", "ts"),
+        ],
+    ).withColumn("v_log1p", F.round(F.log1p(F.col("value")), 6))
+
+
+def q_json_extract(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return apply_row_features(e.select("event_id", "props"), [("k", "json_k", "props")])
+
+
+def q_distinct_users(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_rollup_events(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"), "n")
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    """Parts that ever shipped (left_semi) vs never shipped (left_anti)."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    cond = part["p_partkey"] == li["l_partkey"]
+    shipped = part.join(li, cond, "left_semi").withColumn("shipped", F.lit(1))
+    never = part.join(li, cond, "left_anti").withColumn("shipped", F.lit(0))
+    return shipped.unionByName(never)
+
+
+def q_flagship_sequences(spark, sf_dir):
+    """Rows-only check: full pipeline over the synthetic tokenized corpus
+    (sequences isn't a driver table, so no SQL oracle — covered by the pandas
+    oracle in tests/)."""
+    from engine.datagen import gen_probes, gen_seq_events, gen_sequences
+
+    n_docs = 2000
+    seqs = gen_sequences(spark, n_docs, seed=42, partitions=8)
+    ev = gen_seq_events(spark, n_docs, seed=42, partitions=8)
+    probes = gen_probes(spark, n_docs, 4000, seed=42)
+    feat = asof_join(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+    )
+    feat = lag_features(feat, "doc_id", "asof_ts", ["fvalue_last"], lags=[1])
+    feat = sessionize(feat, "doc_id", "asof_ts", gap="1 hour")
+    out = feat.join(seqs.select("doc_id", "n_tok", "source"), "doc_id", "left")
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    probes, state = _probe_state(spark, SF0001)
+    feat = asof_join(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value", "etype"], suffix="_last",
+    )
+    feat = lag_features(feat, "user_id", "ts", ["value_last"], lags=[1])
+    feat = sessionize(feat, "user_id", "ts", gap="30 minutes")
+    feat = rolling_aggregates(feat, "user_id", "ts", {"value_last": ["count"]}, window="1 hour")
+    return feat
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_union": q_asof_union,
+        "asof_merge": q_asof_merge,
+        "asof_strict": q_asof_strict,
+        "ffill": q_ffill,
+        "bfill": q_bfill,
+        "lag_lead": q_lag_lead,
+        "sessionize": q_sessionize,
+        "session_agg": q_session_agg,
+        "rolling_1h": q_rolling_1h,
+        "cumulative": q_cumulative,
+        "topk_latest": q_topk_latest,
+        "direct_features": q_direct_features,
+        "agg_features": q_agg_features,
+        "two_level_agg": q_two_level_agg,
+        "salted_join": q_salted_join,
+        "minmax": q_minmax,
+        "row_features_text": q_row_features_text,
+        "row_features_time": q_row_features_time,
+        "json_extract": q_json_extract,
+        "distinct_users": q_distinct_users,
+        "rollup_events": q_rollup_events,
+        "semi_anti": q_semi_anti,
+        "flagship_sequences": q_flagship_sequences,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    asof = f"""
+WITH {_PROBE_STATE_SQL}
+SELECT p.event_id, p.user_id, p.ts, s.value AS value_last, s.etype AS etype_last
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+"""
+    return {
+        "asof_union": asof,
+        "asof_merge": asof,
+        "asof_strict": f"""
+WITH {_PROBE_STATE_SQL}
+SELECT p.event_id, p.user_id, p.ts, s.value AS value_last, s.etype AS etype_last
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts < p.ts
+""",
+        "ffill": f"""
+WITH {_NULLS_SQL}
+SELECT event_id, user_id, ts, value_n,
+       last_value(value_n IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_n_f
+FROM e
+""",
+        "bfill": f"""
+WITH {_NULLS_SQL}
+SELECT event_id, user_id, ts, value_n,
+       first_value(value_n IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         AS value_n_b
+FROM e
+""",
+        "lag_lead": """
+SELECT event_id, user_id, ts, value,
+       lag(value, 1)  OVER w AS value_lag1,
+       lag(value, 2)  OVER w AS value_lag2,
+       lead(value, 1) OVER w AS value_lead1
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+        "sessionize": """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id, ts,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM d
+""",
+        "session_agg": """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM d)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM s GROUP BY user_id, session_id
+""",
+        "rolling_1h": """
+SELECT event_id, user_id, ts,
+       COUNT(value) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "cumulative": """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS cum_sum,
+       COUNT(value) OVER w AS cum_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "topk_latest": """
+SELECT event_id, user_id, ts, value FROM (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events) t WHERE rn <= 3
+""",
+        "direct_features": """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       c.c_mktsegment AS cust_c_mktsegment, c.c_acctbal AS cust_c_acctbal
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "agg_features": """
+SELECT o_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_custkey
+""",
+        "two_level_agg": """
+SELECT event_type, COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY event_type
+""",
+        "salted_join": """
+WITH dim AS (SELECT event_type, COUNT(*) AS type_count FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, d.type_count
+FROM events e JOIN dim d ON e.event_type = d.event_type
+""",
+        "minmax": """
+WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+SELECT e.event_id, e.value,
+       CASE WHEN s.hi = s.lo THEN 0.5 ELSE (e.value - s.lo) / (s.hi - s.lo) END AS value_mm
+FROM events e CROSS JOIN s
+""",
+        "row_features_text": """
+SELECT doc_id, n_chars, LENGTH(text) AS text_len,
+       len(string_split(TRIM(text), ' ')) AS n_words,
+       LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS n_digits,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_words
+FROM documents
+""",
+        "row_features_time": """
+SELECT event_id, ts, value,
+       hour(ts) AS h,
+       dayofweek(ts) + 1 AS dw,
+       month(ts) AS mo,
+       CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
+       ROUND(LN(1 + value), 6) AS v_log1p
+FROM events
+""",
+        "json_extract": """
+SELECT event_id, props, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+""",
+        "distinct_users": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+        "rollup_events": """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+""",
+        "semi_anti": """
+SELECT p_partkey,
+       CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem) THEN 1 ELSE 0 END AS shipped
+FROM part
+""",
+    }

@@ -171,9 +171,16 @@ def _asof_merge(
     import pyspark.sql.types as T
 
     probe_cols = probes.columns
+    ts_alias = "__mstate_ts"
     # Explicit pruning before the Python stage (SURVEY.md §4: Catalyst cannot
-    # prune through applyInPandas).
-    state_sel = state.select(*keys, state_ts, *values)
+    # prune through applyInPandas). Rename state columns to be disjoint from
+    # probe columns FIRST: cogroup drops right-side columns that collide with
+    # left-side names (observed on Spark 4.1).
+    state_sel = state.select(
+        *keys,
+        F.col(state_ts).alias(ts_alias),
+        *[F.col(v).alias(n) for v, n in zip(values, out_names)],
+    )
     probe_sel = probes.select(*probe_cols)
 
     out_fields = list(probes.schema.fields) + [
@@ -184,16 +191,26 @@ def _asof_merge(
         out_fields.append(T.StructField(include_state_ts, T.TimestampNTZType(), True))
     out_schema = T.StructType(out_fields)
     out_cols = [f.name for f in out_fields]
+    if set(out_names) & set(probe_cols):
+        raise ValueError(
+            f"merge strategy needs disjoint output names; pass a suffix "
+            f"(collisions: {sorted(set(out_names) & set(probe_cols))})"
+        )
     allow_exact = not strict
-    ts_alias = "__mstate_ts"
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
             return pd.DataFrame(columns=out_cols)
+        if right.empty:
+            # Spark may pass an empty, even column-less, frame when this key
+            # has no state rows: all fetched values are null.
+            out = left.copy()
+            for n in out_names:
+                out[n] = None
+            if include_state_ts:
+                out[include_state_ts] = pd.NaT
+            return out[out_cols]
         left = left.sort_values(probe_ts, kind="mergesort")
-        right = right.rename(
-            columns={state_ts: ts_alias, **dict(zip(values, out_names))}
-        )
         if include_state_ts:
             right[include_state_ts] = right[ts_alias]
         right = right.drop(columns=keys).sort_values(ts_alias, kind="mergesort")

@@ -1,0 +1,111 @@
+"""table family — relational aggregations per parent key (DFS 2015 "rfeat").
+
+``agg_features`` is the cutoff-aware groupBy: the temporal cutoff filter (P3)
+is applied BEFORE aggregation so no aggregate ever reads past the as-of time —
+and, being a plain predicate on the scan side, it pushes down to Parquet row
+groups. Skewed keys route through ``engine.skew.two_level_agg``.
+
+``grouped_map`` / ``grouped_zscore`` are the Arrow-vectorized per-group
+transforms (G5); ``make_grouped_agg_udaf`` builds custom vectorized UDAFs (G6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from engine.skew import two_level_agg
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "countd": F.countDistinct,
+    "approx_countd": F.approx_count_distinct,
+    "first": F.first,
+    "last": F.last,
+}
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def agg_features(
+    child: DataFrame,
+    key: str | Sequence[str],
+    agg_specs: dict[str, Sequence[str]],
+    cutoff=None,
+    ts_col: str = "ts",
+    skew_buckets: int | None = None,
+) -> DataFrame:
+    """Per-key aggregate features with optional temporal cutoff.
+
+    ``agg_specs``: {column: [fn, ...]} with fns from count/sum/avg/min/max/
+    stddev/countd/approx_countd. Output columns ``{col}_{fn}``.
+    ``cutoff``: literal timestamp — only rows with ts <= cutoff contribute
+    (leakage guard; per-probe cutoffs use asof_join instead).
+    ``skew_buckets``: route through the salted two-level aggregation.
+    """
+    if cutoff is not None:
+        child = child.where(F.col(ts_col) <= F.lit(cutoff))
+    keys = _as_list(key)
+    if skew_buckets:
+        supported = {"count", "sum", "avg", "min", "max", "stddev"}
+        bad = {f for fns in agg_specs.values() for f in fns} - supported
+        if bad:
+            raise ValueError(f"two_level_agg does not support: {sorted(bad)}")
+        return two_level_agg(child, keys, agg_specs, buckets=skew_buckets)
+    exprs = [
+        _AGG_FNS[fn](F.col(c)).alias(f"{c}_{fn}")
+        for c, fns in agg_specs.items()
+        for fn in fns
+    ]
+    return child.groupBy(*keys).agg(*exprs)
+
+
+def grouped_map(
+    df: DataFrame,
+    key: str | Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema,
+    prune: Sequence[str] | None = None,
+) -> DataFrame:
+    """G5: arbitrary per-group pandas transform, Arrow-batched.
+
+    ``prune``: explicit column list selected before the Python stage (Catalyst
+    cannot prune through applyInPandas — SURVEY.md §4).
+    """
+    if prune is not None:
+        df = df.select(*prune)
+    return df.groupBy(*_as_list(key)).applyInPandas(fn, schema=schema)
+
+
+def grouped_zscore(
+    df: DataFrame, key: str | Sequence[str], col: str, out: str | None = None
+) -> DataFrame:
+    """Per-group z-normalization — JVM-only implementation (no Python stage):
+    group stats via window aggregates, not applyInPandas, because it's
+    expressible. Kept in the table family as the canonical 'fit within group,
+    transform rows' example."""
+    from pyspark.sql import Window
+
+    keys = _as_list(key)
+    w = Window.partitionBy(*keys)
+    mu = F.avg(col).over(w)
+    sd = F.stddev(col).over(w)
+    return df.withColumn(out or f"{col}_gz", (F.col(col) - mu) / sd)
+
+
+def make_grouped_agg_udaf(fn: Callable[[pd.Series], float], return_type: str = "double"):
+    """G6: vectorized custom aggregate usable in groupBy().agg() and windows."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(fn, return_type)

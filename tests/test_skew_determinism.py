@@ -1,0 +1,72 @@
+"""Skew-path correctness (SURVEY.md §5.6) and determinism (§5.7)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from engine.datagen import gen_seq_events, gen_sequences
+from engine.skew import salted_join, two_level_agg
+from tests.oracle import assert_frames_allclose
+
+
+def test_two_level_agg_equals_plain(spark, seq_fixtures):
+    ev = seq_fixtures["seq_events"]
+    got = two_level_agg(
+        ev, "fcat", {"fvalue": ["count", "sum", "avg", "min", "max", "stddev"]},
+        buckets=8,
+    ).toPandas()
+    want = ev.groupBy("fcat").agg(
+        F.count("fvalue").alias("fvalue_count"),
+        F.sum("fvalue").alias("fvalue_sum"),
+        F.avg("fvalue").alias("fvalue_avg"),
+        F.min("fvalue").alias("fvalue_min"),
+        F.max("fvalue").alias("fvalue_max"),
+        F.stddev("fvalue").alias("fvalue_stddev"),
+    ).toPandas()
+    assert_frames_allclose(got, want, rtol=1e-9)
+
+
+def test_salted_join_equals_plain(spark, seq_fixtures):
+    ev = seq_fixtures["seq_events"]
+    dim = ev.groupBy("fcat").agg(F.count(F.lit(1)).alias("cat_n"))
+    got = salted_join(ev.select("doc_id", "ts", "fcat"), dim, on="fcat", buckets=8).toPandas()
+    want = ev.select("doc_id", "ts", "fcat").join(dim, "fcat").toPandas()
+    assert_frames_allclose(got, want)
+
+
+def test_hot_entity_skew_correct(spark):
+    """50%-hot-entity fixture: salted paths still exact (FIXTURES.md B5)."""
+    ev = gen_seq_events(spark, n_docs=40, seed=11, hot_frac_pct=50, partitions=4)
+    got = two_level_agg(ev, "doc_id", {"fvalue": ["count", "sum"]}, buckets=16).toPandas()
+    want = ev.groupBy("doc_id").agg(
+        F.count("fvalue").alias("fvalue_count"), F.sum("fvalue").alias("fvalue_sum")
+    ).toPandas()
+    assert_frames_allclose(got, want)
+    hot = ev.where(F.col("doc_id") == "doc000000000000").count()
+    assert hot / ev.count() > 0.4
+
+
+def test_datagen_deterministic_across_parallelism(spark):
+    a = gen_sequences(spark, 500, seed=3, partitions=2).toPandas()
+    b = gen_sequences(spark, 500, seed=3, partitions=16).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_tok"] == b["n_tok"]).all()
+    assert all((x == y).all() for x, y in zip(a["tokens"], b["tokens"]))
+    assert (a["source"] == b["source"]).all()
+
+
+def test_pipeline_deterministic(spark, seq_fixtures):
+    from engine.asof import asof_join
+
+    def run():
+        return (
+            asof_join(
+                seq_fixtures["probes"], seq_fixtures["seq_events"],
+                on="doc_id", probe_ts="asof_ts", state_ts="ts",
+                values=["fvalue", "fcat"],
+            )
+            .toPandas()
+        )
+
+    assert_frames_allclose(run(), run())
