@@ -1,0 +1,173 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32), plus the flagship as-of + feature-gen
+pipeline over a synthetic tokenized corpus ($AFG_BENCH_DOCS docs, default
+125k → 1M seq_events + 250k probes), which yields the north-star
+sequences/sec figure.
+
+Materialization uses the noop sink (full execution, no driver collect).
+
+Scaling evidence (BASELINE.md protocol): ``python bench.py --scaling`` runs
+the flagship at local[8] and local[32] in separate processes on identical
+input and writes BENCH/BASELINE.md with throughput at both and
+efficiency = (thr32/thr8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("AFG_BENCH_DOCS", "125000"))
+EVENTS_PER_DOC = 8
+
+
+def get_spark(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName("afg-bench")
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def flagship_synthetic(spark, n_docs: int):
+    """North-star pipeline: corpus gen → as-of merge → lag → sessionize →
+    trailing aggs → salted per-source agg, token arrays carried through."""
+    from engine.asof import asof_join
+    from engine.datagen import gen_probes, gen_seq_events, gen_sequences
+    from engine.skew import two_level_agg
+    from engine.window_ops import lag_features, rolling_aggregates, sessionize
+
+    seqs = gen_sequences(spark, n_docs, seed=42)
+    ev = gen_seq_events(spark, n_docs, seed=42)
+    probes = gen_probes(spark, n_docs, n_docs * 2, seed=42)
+    feat = asof_join(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+    )
+    feat = lag_features(feat, "doc_id", "asof_ts", ["fvalue_last"], lags=[1, 2])
+    feat = sessionize(feat, "doc_id", "asof_ts", gap="1 hour")
+    feat = rolling_aggregates(
+        feat, "doc_id", "asof_ts", {"fvalue_last": ["count", "sum"]}, window="1 day"
+    )
+    # join features back onto the tokenized corpus (tokens stay JVM-side)
+    out = feat.join(seqs, "doc_id", "left")
+    src_stats = two_level_agg(
+        out, "source", {"fvalue_last": ["count", "sum", "avg"]}, buckets=16
+    )
+    return out, src_stats
+
+
+def run_bench(cores: int) -> dict:
+    spark = get_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    names = [
+        "asof_union", "asof_merge", "sessionize", "rolling_1h",
+        "two_level_agg", "agg_features", "row_features_text",
+    ]
+    results: dict[str, float] = {}
+    # JVM/codegen warmup on the smallest tier
+    materialize(qs["asof_union"](spark, "/root/testdata/sf0.001"))
+
+    for n in names:
+        results[n] = timed(lambda n=n: materialize(qs[n](spark, SF_DIR)))
+
+    out, src_stats = flagship_synthetic(spark, BENCH_DOCS)
+    t_flag = timed(lambda: (materialize(out), materialize(src_stats)))
+    results["flagship_synthetic"] = t_flag
+    n_sequences = BENCH_DOCS  # corpus rows processed through the full pipeline
+    seq_per_s = round(n_sequences / t_flag, 1)
+
+    total = round(sum(results.values()), 3)
+    payload = {
+        "metric": "as-of join + feature-gen bench wall time (headline queries + flagship synthetic corpus)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "cores": cores,
+        "bench_docs": BENCH_DOCS,
+        "sequences_per_sec_flagship": seq_per_s,
+        "probes_per_sec_flagship": round(BENCH_DOCS * 2 / t_flag, 1),
+    }
+    spark.stop()
+    return payload
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on identical input → BENCH/BASELINE.md."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    res = {}
+    for cores in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        p = subprocess.run(
+            [sys.executable, here], env=env, capture_output=True, text=True, timeout=3600
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        res[cores] = json.loads(line)
+    thr8 = res[8]["sequences_per_sec_flagship"]
+    thr32 = res[32]["sequences_per_sec_flagship"]
+    eff = round(thr32 / thr8 / 4, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as fh:
+        fh.write(f"""# BENCH/BASELINE — measured scaling evidence
+
+Protocol (BASELINE.md): identical flagship input ({BENCH_DOCS} synthetic
+sequences → {BENCH_DOCS * EVENTS_PER_DOC} seq_events, {BENCH_DOCS * 2} probes, plus sf0.1
+headline queries), same code, two parallelism levels. Efficiency =
+(throughput@32 / throughput@8) / 4 — the sandbox stand-in for the N vs 4N
+executor requirement (>= 0.8, BASELINE.json:2).
+
+| config | flagship wall (s) | sequences/sec | total bench (s) |
+|---|---|---|---|
+| local[8]  | {res[8]['queries']['flagship_synthetic']} | {thr8} | {res[8]['value']} |
+| local[32] | {res[32]['queries']['flagship_synthetic']} | {thr32} | {res[32]['value']} |
+
+**Scaling efficiency (8 → 32 cores): {eff}** (target >= 0.8)
+
+Per-query seconds:
+
+| query | local[8] | local[32] |
+|---|---|---|
+""")
+        for q in res[8]["queries"]:
+            fh.write(f"| {q} | {res[8]['queries'][q]} | {res[32]['queries'][q]} |\n")
+        fh.write(f"\nRaw JSON:\n\n    {json.dumps(res[8])}\n    {json.dumps(res[32])}\n")
+    print(json.dumps({"scaling_efficiency": eff, "thr8": thr8, "thr32": thr32}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench(CPUS)))

@@ -36,10 +36,16 @@ def doc_id_for(idx_col) -> F.Column:
     return F.format_string("doc%012d", idx_col.cast("long"))
 
 
+def _default_parts(spark: SparkSession, n_rows: int) -> int:
+    """Scale with the cluster (defaultParallelism), bounded by sensible
+    per-task row counts so tiny inputs don't pay 100 empty tasks."""
+    return max(2, min(spark.sparkContext.defaultParallelism * 2, max(1, n_rows // 10_000)))
+
+
 def gen_sequences(
     spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None
 ) -> DataFrame:
-    df = spark.range(0, n_rows, numPartitions=partitions or max(1, n_rows // 250_000) * 4)
+    df = spark.range(0, n_rows, numPartitions=partitions or _default_parts(spark, n_rows))
     i = F.col("id")
     length = (F.lit(1) + _h(seed, i, F.lit("len")) % MAX_TOKENS).cast("int")
     tokens = F.transform(
@@ -68,7 +74,7 @@ def gen_seq_events(
     partitions: int | None = None,
 ) -> DataFrame:
     n_rows = n_docs * events_per_doc
-    df = spark.range(0, n_rows, numPartitions=partitions or max(4, n_rows // 500_000))
+    df = spark.range(0, n_rows, numPartitions=partitions or _default_parts(spark, n_rows))
     i = F.col("id")
     hot = _h(seed, i, F.lit("hot")) % 100 < hot_frac_pct
     doc_idx = F.when(hot, F.lit(0)).otherwise(_h(seed, i, F.lit("docpick")) % n_docs)

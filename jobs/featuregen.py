@@ -1,0 +1,133 @@
+"""Production feature-generation job (SURVEY.md §3.2).
+
+Launch:
+  spark-submit --py-files engine.zip jobs/featuregen.py \
+      --input /root/testdata/sf0.1 --output /tmp/featout \
+      --partitions 64 --chunk-size 16 --gap "30 minutes" --lags 1 2
+
+Runs the flagship pipeline (as-of join + ffill-semantics last-value + lag +
+sessionize + trailing aggregates) per stable hash-partition of the entity key,
+committing each partition atomically with lineage + throughput metrics.
+A killed run resumes: committed partitions are skipped without recomputation.
+
+Inputs: either the driver testdata ``events`` table (entity=user_id, probes =
+click events) or ``--synthetic N`` for the tokenized ``sequences`` corpus +
+``seq_events`` + ``probes`` (entity=doc_id).
+
+Fault injection for the resume test: ``--kill-after-chunks K`` exits the
+process ungracefully after K committed chunks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F
+
+from engine.asof import asof_join
+from engine.checkpoint import PID_COL, CheckpointManager, ParquetJournalTableIO, with_partition_id
+from engine.io import read_table
+from engine.window_ops import lag_features, rolling_aggregates, sessionize
+
+
+def build_features(probes, state, entity, probe_ts, values, gap, lags):
+    feat = asof_join(
+        probes, state, on=entity, probe_ts=probe_ts, state_ts="ts",
+        values=values, suffix="_last",
+    )
+    feat = lag_features(feat, entity, probe_ts, [values[0] + "_last"], lags=lags)
+    feat = sessionize(feat, entity, probe_ts, gap=gap)
+    feat = rolling_aggregates(
+        feat, entity, probe_ts, {values[0] + "_last": ["count", "sum"]}, window="1 day"
+    )
+    return feat
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.001")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="if >0: n_docs of synthetic sequences corpus instead of events")
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--chunk-size", type=int, default=8)
+    ap.add_argument("--gap", default="30 minutes")
+    ap.add_argument("--lags", type=int, nargs="+", default=[1])
+    ap.add_argument("--parallelism", type=int, default=0, help="spark.sql.shuffle.partitions")
+    ap.add_argument("--kill-after-chunks", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("afg-featuregen").getOrCreate()
+    if args.parallelism:
+        spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synthetic:
+        from engine.datagen import gen_probes, gen_seq_events, gen_sequences
+
+        entity, probe_ts, values = "doc_id", "asof_ts", ["fvalue", "fcat"]
+        state = gen_seq_events(spark, args.synthetic, seed=args.seed)
+        probes = gen_probes(spark, args.synthetic, args.synthetic * 2, seed=args.seed)
+        seqs = gen_sequences(spark, args.synthetic, seed=args.seed)
+        probes = probes.join(seqs.select("doc_id", "n_tok", "source"), "doc_id", "left")
+    else:
+        entity, probe_ts, values = "user_id", "ts", ["value", "event_type"]
+        e = read_table(spark, args.input, "events")
+        probes = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        state = e.where(F.col("event_type") != "click").select(
+            "user_id", "ts", "value", "event_type"
+        )
+
+    io = ParquetJournalTableIO(args.output)
+    mgr = CheckpointManager(io, args.partitions)
+    pending = mgr.pending()
+    print(f"partitions={args.partitions} pending={len(pending)} "
+          f"committed={args.partitions - len(pending)}")
+
+    lineage = {
+        "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},
+        "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions},
+        "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),
+    }
+
+    probes_p = with_partition_id(probes, entity, args.partitions)
+    state_p = with_partition_id(state, entity, args.partitions)
+
+    t_start = time.time()
+    total_rows = 0
+    chunks_done = 0
+    for i in range(0, len(pending), args.chunk_size):
+        chunk = pending[i : i + args.chunk_size]
+        cp = probes_p.where(F.col(PID_COL).isin(chunk))
+        cs = state_p.where(F.col(PID_COL).isin(chunk)).drop(PID_COL)
+        feat = build_features(cp, cs, entity, probe_ts, values, args.gap, args.lags)
+        stats = mgr.run_chunk(chunk, feat, lineage)
+        total_rows += stats["rows"]
+        chunks_done += 1
+        print(f"chunk {chunks_done}: pids={chunk} rows={stats['rows']} "
+              f"wall={stats['wall_s']:.2f}s")
+        if args.kill_after_chunks and chunks_done >= args.kill_after_chunks:
+            print("FAULT INJECTION: killing job now", flush=True)
+            os._exit(42)
+
+    wall = time.time() - t_start
+    summary = {
+        "rows": total_rows,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(total_rows / wall, 1) if wall else None,
+        "partitions": args.partitions,
+    }
+    print("SUMMARY " + json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
