@@ -292,6 +292,266 @@ def q_flagship_sequences(spark, sf_dir):
     return out
 
 
+# ------------------------------------------------- corpus ops (§2.10) ----
+# Deduplication / similarity / text-analysis / multimodal queries with
+# DuckDB oracles built from the same md5-hex + ordered-double arithmetic
+# (verified bit-exact cross-engine this session).
+
+def q_exact_dedup(spark, sf_dir):
+    from engine.corpus.dedup import exact_dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_dedup(d).select("doc_id", "content_hash", "keeper_id", "n_copies", "is_dup")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from engine.corpus.dedup import lsh_candidate_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return lsh_candidate_pairs(d)
+
+
+def q_near_dup_jaccard(spark, sf_dir):
+    from engine.corpus.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(d)
+    return ngram_jaccard_pairs(d, pairs, threshold=0.8)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only: xxhash64 has no DuckDB analogue;
+    covered by the pandas oracle in tests/test_corpus.py instead)."""
+    from engine.corpus.dedup import simhash, simhash_near_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(simhash(d), max_hamming=8)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from engine.corpus.similarity import embedding_near_dup_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3, exact=True)
+
+
+def _emb_queries(e):
+    return e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+
+
+def q_ann_topk(spark, sf_dir):
+    from engine.corpus.similarity import brute_force_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _emb_queries(e), k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from engine.corpus.similarity import lsh_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, _emb_queries(e), k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    from engine.corpus.text import lang_id
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return lang_id(d).drop("text")
+
+
+def q_quality_score(spark, sf_dir):
+    from engine.corpus.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_score(d).drop("text")
+
+
+def q_token_counts(spark, sf_dir):
+    from engine.corpus.text import token_counts
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_counts(d).drop("text")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from engine.corpus.text import fingerprint
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(d).drop("text")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary-asset decode plumbing (rows-only: synthetic binary payloads,
+    stub decoder — see engine/corpus/multimodal.py)."""
+    from engine.corpus.multimodal import decode_features, gen_assets
+
+    return decode_features(gen_assets(spark, 2000))
+
+
+# ---- DuckDB oracle SQL builders (mirror engine/corpus expressions) ----
+
+_W = "string_split(trim(lower(text)), ' ')"
+_W_NOLOWER = "string_split(trim(text), ' ')"
+_TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _shingles_sql(n: int = 3, w: str = "w") -> str:
+    """Shingle expression over a word-array column ``w`` (bind it in a CTE:
+    ``wt AS (SELECT doc_id, {_W} AS w FROM documents)``)."""
+    grams = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(n)).replace(f"{w}[i+0]", f"{w}[i]")
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({w}) < {n} "
+        f"THEN [array_to_string({w}, ' ')] "
+        f"ELSE list_transform(range(1, len({w}) - {n - 2}), i -> {grams}) END))"
+    )
+
+
+def _minhash_sql(i: int, sh: str = "sh") -> str:
+    return f"list_min(list_transform({sh}, s -> md5('{i}|' || s)))"
+
+
+def _lsh_pairs_cte() -> str:
+    """CTE chain: documents → shingles → 16 minhashes → 4 bands → pairs."""
+    hs = ",\n    ".join(f"{_minhash_sql(i)} AS h{i}" for i in range(16))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, h{4*b} || h{4*b+1} || h{4*b+2} || h{4*b+3} AS bk FROM hs"
+        for b in range(4)
+    )
+    return f"""
+wt AS (SELECT doc_id, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql()} AS sh FROM wt),
+hs AS (SELECT doc_id,
+    {hs}
+  FROM sh),
+bands AS (
+  {band_selects}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.bk = r.bk AND l.doc_id < r.doc_id)
+"""
+
+
+def _sw_sql(lang_words: list[str], w: str = _W) -> str:
+    lst = "[" + ", ".join(f"'{x}'" for x in lang_words) + "]"
+    return f"len(list_filter({w}, x -> list_contains({lst}, x)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _bucket_sql(v: str) -> str:
+    from engine.corpus.similarity import _hyperplane
+
+    terms = []
+    for i in range(8):
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(i, 64)) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product({v}, {plane}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _corpus_oracle_sql() -> dict[str, str]:
+    from engine.corpus.text import LANGS, STOPWORDS
+
+    lang_scores = ",\n  ".join(
+        f"{_sw_sql(STOPWORDS[l])} AS s_{l}" for l in LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{l}" for l in LANGS) + ")"
+    pred_chain = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in LANGS
+    ) + " END"
+
+    return {
+        "exact_dedup": """
+WITH k AS (SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+                  count(*) AS n_copies
+           FROM documents GROUP BY 1)
+SELECT d.doc_id, k.content_hash, k.keeper_id, k.n_copies,
+       CASE WHEN d.doc_id <> k.keeper_id THEN 1 ELSE 0 END AS is_dup
+FROM documents d JOIN k ON md5(d.text) = k.content_hash
+""",
+        "minhash_lsh_pairs": f"""
+WITH {_lsh_pairs_cte()}
+SELECT id_a, id_b FROM pairs
+""",
+        "near_dup_jaccard": f"""
+WITH {_lsh_pairs_cte()}
+SELECT id_a, id_b, jaccard FROM (
+  SELECT p.id_a, p.id_b,
+         round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+                    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+  FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b) t
+WHERE jaccard >= 0.8
+""",
+        "embedding_near_dup": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id) t
+WHERE cos >= 0.3
+""",
+        "ann_topk": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
+s AS (SELECT q_id, vec_id, round({_cos_sql('v', 'qv')}, 6) AS score
+      FROM emb CROSS JOIN q),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT q_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
+""",
+        "ann_lsh_topk": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb),
+qb AS (SELECT vec_id AS q_id, v AS qv, {_bucket_sql('v')} AS bucket
+       FROM emb WHERE vec_id < 10),
+s AS (SELECT q_id, cb.vec_id, round({_cos_sql('cb.v', 'qb.qv')}, 6) AS score, cb.bucket
+      FROM cb JOIN qb ON cb.bucket = qb.bucket),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT q_id, vec_id, score, "rank", bucket FROM r WHERE "rank" <= 5
+""",
+        "lang_id": f"""
+WITH scored AS (SELECT doc_id, lang,
+  {lang_scores}
+  FROM documents)
+SELECT doc_id, lang, {pred_chain} AS lang_pred FROM scored
+""",
+        "quality_score": f"""
+SELECT doc_id,
+  round(0.4 * least(1.0, CAST(length(text) AS DOUBLE) / 200.0)
+      + 0.3 * least(1.0, 5.0 * {_sw_sql(["the", "a", "and", "of", "to", "is", "in", "that", "it", "for"])}
+                         / greatest(1.0, CAST(len({_W_NOLOWER}) AS DOUBLE)))
+      + 0.3 * greatest(0.0, 1.0
+          - CAST(len(list_filter(regexp_extract_all(text, '{_TOKEN_RE_SQL}'),
+                                 t -> regexp_matches(t, '^[^A-Za-z0-9]$'))) AS DOUBLE)
+            / greatest(1.0, CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS DOUBLE))
+          - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+            / greatest(1.0, CAST(length(text) AS DOUBLE))), 6) AS quality
+FROM documents
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       len({_W_NOLOWER}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_bpe_tokens,
+       len(list_distinct({_W})) AS n_unique_words
+FROM documents
+""",
+        "doc_fingerprint": f"""
+WITH wt AS (SELECT doc_id, text, {_W} AS w FROM documents)
+SELECT doc_id, md5(text) AS md5_full,
+       list_min(list_transform({_shingles_sql()}, s -> md5(s))) AS shingle_minhash
+FROM wt
+""",
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     probes, state = _probe_state(spark, SF0001)
@@ -330,6 +590,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "semi_anti": q_semi_anti,
         "flagship_sequences": q_flagship_sequences,
+        # corpus ops (§2.10): dedup / similarity / text analysis / multimodal
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_jaccard": q_near_dup_jaccard,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -481,4 +754,5 @@ SELECT p_partkey,
        CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem) THEN 1 ELSE 0 END AS shipped
 FROM part
 """,
+        **_corpus_oracle_sql(),
     }

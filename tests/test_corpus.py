@@ -1,0 +1,262 @@
+"""Corpus operators (SURVEY.md §2.10): dedup, similarity, text analysis,
+multimodal plumbing — pandas/numpy-oracle tests per SURVEY.md §5.1."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from engine.corpus.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from engine.corpus.multimodal import (
+    FEATURE_SCHEMA,
+    decode_features,
+    frame_sample,
+    gen_assets,
+)
+from engine.corpus.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from engine.corpus.text import lang_id, quality_score, token_counts
+from engine.io import read_table
+
+
+# ---------------------------------------------------------------- oracles ----
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.lower().strip().split()
+    if len(w) < n:
+        return {" ".join(w)}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_jaccard(a: set, b: set) -> float:
+    u = a | b
+    return 1.0 if not u else len(a & b) / len(u)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+# ------------------------------------------------------------------ dedup ----
+
+def test_exact_dedup_flags_copies(spark, docs):
+    # inject known duplicates: copy each text of 5 docs under a new id
+    base = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    d = docs.unionByName(base)
+    out = exact_dedup(d).toPandas()
+    assert int(out["is_dup"].sum()) == 5
+    dups = out[out["is_dup"] == 1]
+    # every dup's keeper has the same content hash and a smaller id
+    assert (dups["keeper_id"] < dups["doc_id"]).all()
+    assert (out.groupby("content_hash")["keeper_id"].nunique() == 1).all()
+
+
+def test_minhash_estimates_jaccard(docs, docs_pdf):
+    """MinHash agreement fraction ≈ true Jaccard (Broder 1997)."""
+    sig = minhash_signature(docs, k=16).select("doc_id", "minhash").toPandas()
+    sig = sig.set_index("doc_id")["minhash"]
+    texts = docs_pdf.set_index("doc_id")["text"]
+    ids = list(texts.index[:40])
+    errs = []
+    for a, b in itertools.combinations(ids, 2):
+        true_j = _py_jaccard(_py_shingles(texts[a]), _py_shingles(texts[b]))
+        est = np.mean([x == y for x, y in zip(sig[a], sig[b])])
+        errs.append(abs(true_j - est))
+    # k=16 → std error ~ sqrt(j(1-j)/16) ≤ 0.125; mean error well below
+    assert np.mean(errs) < 0.15
+
+
+def test_lsh_finds_all_high_jaccard_pairs(docs, docs_pdf):
+    """Recall property: every pair with true Jaccard ≥ 0.9 must surface as
+    an LSH candidate (4 bands × 4 rows: P(miss) = (1-j^4)^4 ≈ 0.2% at j=0.9
+    per pair — the fixture's high-sim pairs are ≥0.95 where it's ~0.02%)."""
+    pairs = lsh_candidate_pairs(docs).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    texts = docs_pdf.set_index("doc_id")["text"]
+    sh = {i: _py_shingles(t) for i, t in texts.items()}
+    # find true high-sim pairs via exact minhash-free scan (500 docs OK)
+    high = [
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if _py_jaccard(sh[a], sh[b]) >= 0.9
+    ]
+    assert high, "fixture should contain near-duplicate documents"
+    missed = [p for p in high if tuple(sorted(p)) not in got]
+    assert not missed, f"LSH missed high-jaccard pairs: {missed[:5]}"
+
+
+def test_ngram_jaccard_matches_python_oracle(docs, docs_pdf):
+    pairs = lsh_candidate_pairs(docs)
+    out = ngram_jaccard_pairs(docs, pairs).toPandas()
+    texts = docs_pdf.set_index("doc_id")["text"]
+    for _, r in out.iterrows():
+        true_j = _py_jaccard(_py_shingles(texts[r["id_a"]]), _py_shingles(texts[r["id_b"]]))
+        assert abs(r["jaccard"] - true_j) < 1e-6
+
+
+def test_simhash_near_dups_have_high_jaccard(docs, docs_pdf):
+    """SimHash Hamming ≤ 8 pairs should be textually similar, and identical
+    texts must give identical simhash."""
+    sh = simhash(docs)
+    # identical text ⇒ identical signature (pure function of words)
+    two = sh.limit(1).select("text").collect()[0]["text"]
+    dup = sh.sparkSession.createDataFrame([(999991, two), (999992, two)], ["doc_id", "text"])
+    sig = simhash(dup).select("simhash").toPandas()["simhash"]
+    assert sig.iloc[0] == sig.iloc[1]
+
+    pairs = simhash_near_pairs(sh, max_hamming=8).toPandas()
+    assert len(pairs) > 0
+    # recall direction: every true near-dup pair (jaccard ≥ 0.9) must sit at
+    # small Hamming distance and therefore be surfaced. (The converse does
+    # not hold on this fixture: the synthetic ~30-word vocabulary makes
+    # unrelated docs share word distributions, which is exactly what
+    # simhash hashes — precision filtering is the ngram_jaccard verify
+    # step's job, not simhash's.)
+    texts = docs_pdf.set_index("doc_id")["text"]
+    shingle_sets = {i: _py_shingles(t) for i, t in texts.items()}
+    high = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(sorted(shingle_sets), 2)
+        if _py_jaccard(shingle_sets[a], shingle_sets[b]) >= 0.9
+    }
+    assert high
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    missed = high - got
+    assert len(missed) <= max(1, len(high) // 10), f"simhash missed {missed}"
+
+
+# ------------------------------------------------------------- similarity ----
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = brute_force_topk(emb, q, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for q_id in range(5):
+        qi = int(np.where(ids == q_id)[0][0])
+        scores = mat @ mat[qi] / (norms * norms[qi])
+        order = np.lexsort((ids, -np.round(scores, 6)))
+        expect = ids[order[:5]]
+        got = out[out["q_id"] == q_id].sort_values("rank")["vec_id"].to_numpy()
+        assert list(got) == list(expect), f"q={q_id}: {got} vs {expect}"
+
+
+def test_lsh_topk_subset_of_bucket_and_scores_exact(emb):
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    brute = brute_force_topk(emb, q, k=5).toPandas()
+    approx = lsh_topk(emb, q, k=5).toPandas()
+    # every (q, candidate) score reported by the ANN path must equal the
+    # exact cosine the brute path computes for the same pair
+    merged = approx.merge(brute, on=["q_id", "vec_id"], suffixes=("_a", "_b"))
+    assert np.allclose(merged["score_a"], merged["score_b"])
+    # self-match always lands in the query's own bucket at rank 1
+    self_rows = approx[approx["q_id"] == approx["vec_id"]]
+    assert (self_rows["rank"] == 1).all() and len(self_rows) == 5
+
+
+def test_embedding_near_dup_symmetric_exact(emb):
+    out = embedding_near_dup_pairs(emb, threshold=0.3, exact=True).toPandas()
+    assert (out["id_a"] < out["id_b"]).all()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    iu = np.triu_indices(len(ids), k=1)
+    expect = int((np.round(sims[iu], 6) >= 0.3).sum())
+    assert len(out) == expect
+
+
+# ----------------------------------------------------------- text analysis ----
+
+def test_token_counts_matches_python(docs):
+    out = token_counts(docs).limit(100).toPandas()
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    for _, r in out.iterrows():
+        assert r["n_ws_tokens"] == len(r["text"].strip().split())
+        assert r["n_bpe_tokens"] == len(pat.findall(r["text"]))
+        assert r["n_unique_words"] == len(set(r["text"].lower().strip().split()))
+
+
+def test_lang_id_deterministic_and_covering(spark, sf_dir):
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = lang_id(d).select("doc_id", "lang_pred").toPandas().sort_values("doc_id")
+    b = lang_id(d).select("doc_id", "lang_pred").toPandas().sort_values("doc_id")
+    assert (a["lang_pred"].values == b["lang_pred"].values).all()
+    assert a["lang_pred"].notna().all()
+    en = lang_id(
+        spark.createDataFrame([(1, "the cat and the dog is in that house")], ["doc_id", "text"])
+    ).toPandas()
+    assert en["lang_pred"].iloc[0] == "en"
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and it is a fine day for all of them"),
+        (2, "x"),
+        (3, "1 2 3 4 5 6 7 8 9 0 ! ! ! ! ?"),
+    ]
+    out = quality_score(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).toPandas().set_index("doc_id")["quality"]
+    assert ((out >= 0) & (out <= 1)).all()
+    assert out[1] > out[2]  # real sentence beats single char
+    assert out[1] > out[3]  # real sentence beats digit/punct soup
+
+
+# --------------------------------------------------------------- multimodal ----
+
+def test_multimodal_decode_schema_and_values(spark):
+    a = gen_assets(spark, 200, partitions=4)
+    out = decode_features(a)
+    assert out.schema == FEATURE_SCHEMA
+    pdf = out.toPandas()
+    assert len(pdf) == 200
+    assert set(pdf["kind"]) == {"image", "audio", "video"}
+    # header fields parsed from real payload bytes, deterministic
+    assert (pdf[pdf["kind"] == "image"]["n_frames"] == 1).all()
+    assert (pdf["n_bytes"] == 142).all()
+    again = decode_features(gen_assets(spark, 200, partitions=2)).toPandas()
+    m = pdf.sort_values("asset_id").reset_index(drop=True)
+    n = again.sort_values("asset_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, n)
+
+
+def test_frame_sample_indices(spark):
+    a = gen_assets(spark, 90, partitions=3)
+    fs = frame_sample(a, every=8).toPandas()
+    assert (fs["frame_idx"] % 8 == 0).all()
+    assert (fs["frame_idx"] < fs["n_frames"]).all()
+    # one video asset: frame count from its header determines sample count
+    grp = fs.groupby("asset_id").agg(n=("frame_idx", "size"), f=("n_frames", "first"))
+    assert (grp["n"] == (grp["f"] - 1) // 8 + 1).all()
