@@ -292,6 +292,70 @@ def q_flagship_sequences(spark, sf_dir):
     return out
 
 
+def q_session_window_agg(spark, sf_dir):
+    """Native session_window sessionization (§2.8 — batch form of the
+    streaming operator; new session when gap since previous event ≥ 30min,
+    session_end = last ts + gap)."""
+    from engine.streaming import session_window_agg
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec")
+    )
+    s = session_window_agg(e, "user_id", "ts", "30 minutes", aggs={"vdec": ["sum"]})
+    return s.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.col("vdec_sum").cast("double").alias("value_sum"),
+    )
+
+
+def q_plan_pipeline(spark, sf_dir):
+    """FeaturePlan IR + fluent facade (§3.1/§3.3): same semantics as the
+    composed operators — lowered from the declarative plan instead."""
+    from engine.plan import FeatureEngine
+
+    probes, state = _probe_state(spark, sf_dir)
+    return (
+        FeatureEngine(probes, entity="user_id", ts="ts")
+        .asof(state, values=["value", "etype"], suffix="_last")
+        .lag(["value_last"], lags=[1])
+        .sessionize("30 minutes")
+        .to_df()
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Interval/range join (A7): count click events inside each user's
+    sessions-with-padding window [start, start+1h)."""
+    e = _events(spark, sf_dir)
+    s = (
+        sessionize(e.select("user_id", "ts"), "user_id", "ts", gap="30 minutes")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", F.col("ts").alias("c_ts"))
+    j = s.join(
+        clicks,
+        (s["user_id"] == clicks["user_id"])
+        & (clicks["c_ts"] >= s["s_start"])
+        & (clicks["c_ts"] < s["s_start"] + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy(s["user_id"].alias("user_id"), "session_id").agg(
+        F.count("c_ts").alias("n_clicks_1h")
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    """Grouping-sets cube (G4): counts at (type×day, type, day, total)."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        e.cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"), "n", "n_users")
+    )
+
+
 # ------------------------------------------------- corpus ops (§2.10) ----
 # Deduplication / similarity / text-analysis / multimodal queries with
 # DuckDB oracles built from the same md5-hex + ordered-double arithmetic
@@ -590,6 +654,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "semi_anti": q_semi_anti,
         "flagship_sequences": q_flagship_sequences,
+        "session_window_agg": q_session_window_agg,
+        "plan_pipeline": q_plan_pipeline,
+        "range_join": q_range_join,
+        "cube_events": q_cube_events,
         # corpus ops (§2.10): dedup / similarity / text analysis / multimodal
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -753,6 +821,67 @@ FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 SELECT p_partkey,
        CASE WHEN p_partkey IN (SELECT l_partkey FROM lineitem) THEN 1 ELSE 0 END AS shipped
 FROM part
+""",
+        "session_window_agg": """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM s GROUP BY user_id, sid
+""",
+        "plan_pipeline": f"""
+WITH {_PROBE_STATE_SQL},
+a AS (
+  SELECT p.event_id, p.user_id, p.ts, s.value AS value_last, s.etype AS etype_last
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts),
+l AS (
+  SELECT *, lag(value_last, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_last_lag1
+  FROM a),
+d AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT event_id, user_id, ts, value_last, etype_last, value_last_lag1,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM d
+""",
+        "range_join": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM d),
+s AS (SELECT user_id, session_id, MIN(ts) AS s_start FROM sess GROUP BY 1, 2),
+c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+SELECT s.user_id, s.session_id, COUNT(c.c_ts) AS n_clicks_1h
+FROM s LEFT JOIN c
+  ON s.user_id = c.user_id AND c.c_ts >= s.s_start
+ AND c.c_ts < s.s_start + INTERVAL 1 HOUR
+GROUP BY s.user_id, s.session_id
+""",
+        "cube_events": """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """,
         **_corpus_oracle_sql(),
     }

@@ -92,6 +92,9 @@ def run_bench(cores: int) -> dict:
     names = [
         "asof_union", "asof_merge", "sessionize", "rolling_1h",
         "two_level_agg", "agg_features", "row_features_text",
+        # corpus ops (SURVEY.md §2.10)
+        "near_dup_jaccard", "simhash_pairs", "ann_topk",
+        "quality_score", "token_counts", "multimodal_decode",
     ]
     results: dict[str, float] = {}
     # JVM/codegen warmup on the smallest tier

@@ -63,13 +63,20 @@ def minhash_signature(
     """MinHash signature (k hash functions) over word n-gram shingles.
     Hash family i = md5(i || '|' || shingle); the per-function min is taken
     lexicographically over hex strings — a uniform permutation min-hash
-    that DuckDB reproduces bit-for-bit. Per-row JVM-only; no shuffle."""
-    sh = shingles(F.col(text_col), n)
+    that DuckDB reproduces bit-for-bit. Per-row JVM-only; no shuffle.
+
+    The shingle array is materialized as its own projection first so the k
+    hash expressions share ONE evaluation per row (inlining it k times
+    blows up codegen and recomputes the shingling k-fold)."""
+    shc = f"__{out}_shingles"
+    staged = df.withColumn(shc, shingles(F.col(text_col), n))
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        F.array_min(
+            F.transform(F.col(shc), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
         for i in range(k)
     ])
-    return df.withColumn(out, sig)
+    return staged.withColumn(out, sig).drop(shc)
 
 
 def lsh_bands(
@@ -104,9 +111,14 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops pathological buckets (e.g. empty-text boilerplate
     shared by millions of docs) before the quadratic self-join — at corpus
     scale an uncapped hot bucket is an O(n²) task; capped buckets keep every
-    task bounded."""
+    task bounded.
+
+    The exploded bands table is persisted before the self-join: it feeds
+    three consumers (bucket-size filter, left side, right side), and at
+    ~80 B/row × bands-per-doc it is far cheaper to keep than to re-run the
+    shingle→minhash scan three times."""
     sigs = minhash_signature(df, text_col, out="minhash").select(id_col, "minhash")
-    b = lsh_bands(sigs, id_col=id_col)
+    b = lsh_bands(sigs, id_col=id_col).persist()
     if max_bucket is not None:
         sizes = b.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_n"))
         b = b.join(sizes.where(F.col("_n") <= max_bucket), ["band_id", "band_key"]).drop("_n")
@@ -139,7 +151,7 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact n-gram Jaccard. Joins each side's
     shingle set onto the (small) candidate-pair table — the shingle arrays
     travel through two hash joins keyed on doc id, never a cross join."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh")).persist()
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -197,6 +209,7 @@ def simhash_near_pairs(
         df.select(id_col, sim_col)
         .select(F.col(id_col), F.col(sim_col), F.explode(block_rows).alias("b"))
         .select(id_col, sim_col, "b.block_id", "b.block_val")
+        .persist()  # feeds both sides of the self-join; simhash scan runs once
     )
     l, r = b.alias("l"), b.alias("r")
     return (

@@ -1,0 +1,210 @@
+"""FeaturePlan — the engine's declarative IR (SURVEY.md §3.1/§3.3).
+
+A ``FeaturePlan`` is a serializable list of step records over named table
+refs: pure metadata, no Spark objects. It is the first IR in the query
+lifecycle (plan → lowering → Catalyst logical plan → AQE physical plan)
+and doubles as the lineage payload the checkpoint journal records
+(SURVEY.md §1.3: ``lineage:{inputs, code_version, params}``) — a resumed
+job can prove *what* pipeline produced a committed partition.
+
+``lower()`` composes the §2 operators; ``FeatureEngine`` is the thin
+fluent facade (§3.3) over the same plan+lower path, so notebooks, tests,
+and the production job share one lowering and one set of semantics.
+
+Requirement source: upstream DFS lineage (Kanter & Veeramachaneni 2015)
+separates feature *enumeration* from *execution*; BASELINE.json:6 requires
+lineage metadata on every checkpoint commit. The reference repo is empty
+at v0 (/root/reference/README.md:1).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any, Mapping
+
+from pyspark.sql import DataFrame
+
+from engine.asof import asof_join
+from engine.transforms.row import apply_row_features
+from engine.transforms.table import agg_features
+from engine.window_ops import (
+    backward_fill,
+    cumulative_stats,
+    forward_fill,
+    lag_features,
+    rolling_aggregates,
+    sessionize,
+)
+
+CODE_VERSION = "afg-spark-0.2"
+
+
+@dataclass(frozen=True)
+class Step:
+    """One pipeline step: ``op`` names the §2 operator, ``params`` its
+    JSON-serializable arguments. Table-valued params (as-of state side)
+    are named refs resolved against the ``tables`` mapping at lowering."""
+
+    op: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class FeaturePlan:
+    """Declarative pipeline over an entity/event-time keyed table."""
+
+    entity: str
+    ts: str
+    steps: tuple[Step, ...] = ()
+
+    def add(self, op: str, **params: Any) -> "FeaturePlan":
+        return FeaturePlan(self.entity, self.ts, self.steps + (Step(op, params),))
+
+    # ---- lineage serialization ----
+    def to_dict(self) -> dict:
+        return {
+            "code_version": CODE_VERSION,
+            "entity": self.entity,
+            "ts": self.ts,
+            "steps": [asdict(s) for s in self.steps],
+        }
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), sort_keys=True)
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "FeaturePlan":
+        return FeaturePlan(
+            entity=d["entity"],
+            ts=d["ts"],
+            steps=tuple(Step(s["op"], dict(s["params"])) for s in d["steps"]),
+        )
+
+
+_LOWERERS = {}
+
+
+def _lowerer(op: str):
+    def deco(fn):
+        _LOWERERS[op] = fn
+        return fn
+
+    return deco
+
+
+@_lowerer("asof")
+def _lower_asof(df, plan, p, tables):
+    state = tables[p["state"]]
+    return asof_join(
+        df, state, on=plan.entity, probe_ts=plan.ts,
+        state_ts=p.get("state_ts", "ts"), values=p.get("values"),
+        strict=p.get("strict", False), strategy=p.get("strategy", "union"),
+        suffix=p.get("suffix", ""),
+    )
+
+
+@_lowerer("lag")
+def _lower_lag(df, plan, p, tables):
+    return lag_features(
+        df, plan.entity, plan.ts, p["cols"],
+        lags=p.get("lags", [1]), leads=p.get("leads", []),
+    )
+
+
+@_lowerer("ffill")
+def _lower_ffill(df, plan, p, tables):
+    return forward_fill(df, plan.entity, plan.ts, p["cols"], out_suffix=p.get("out_suffix", "_f"))
+
+
+@_lowerer("bfill")
+def _lower_bfill(df, plan, p, tables):
+    return backward_fill(df, plan.entity, plan.ts, p["cols"], out_suffix=p.get("out_suffix", "_b"))
+
+
+@_lowerer("sessionize")
+def _lower_sessionize(df, plan, p, tables):
+    return sessionize(df, plan.entity, plan.ts, gap=p.get("gap", "30 minutes"))
+
+
+@_lowerer("rolling")
+def _lower_rolling(df, plan, p, tables):
+    return rolling_aggregates(df, plan.entity, plan.ts, p["aggs"], window=p["window"])
+
+
+@_lowerer("cumulative")
+def _lower_cumulative(df, plan, p, tables):
+    return cumulative_stats(df, plan.entity, plan.ts, p["aggs"])
+
+
+@_lowerer("row_features")
+def _lower_row_features(df, plan, p, tables):
+    return apply_row_features(df, [tuple(s) for s in p["specs"]])
+
+
+@_lowerer("agg_features")
+def _lower_agg_features(df, plan, p, tables):
+    return agg_features(df, p.get("key", plan.entity), p["aggs"])
+
+
+def lower(
+    probes: DataFrame,
+    plan: FeaturePlan,
+    tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """FeaturePlan → DataFrame by composing §2 operators in step order.
+
+    All window-family steps share ``partitionBy(entity)``, so Catalyst
+    plans ONE shuffle for the whole chain (verified: the flagship 5-step
+    plan compiles to a single Exchange)."""
+    tables = tables or {}
+    df = probes
+    for step in plan.steps:
+        try:
+            fn = _LOWERERS[step.op]
+        except KeyError:
+            raise ValueError(f"unknown plan op: {step.op!r}") from None
+        df = fn(df, plan, step.params, tables)
+    return df
+
+
+class FeatureEngine:
+    """Fluent facade (SURVEY.md §3.3): chaining builds the SAME FeaturePlan
+    the job runner serializes; ``to_df()`` triggers the one lowering path."""
+
+    def __init__(self, probes: DataFrame, entity: str, ts: str):
+        self._probes = probes
+        self._tables: dict[str, DataFrame] = {}
+        self.plan = FeaturePlan(entity=entity, ts=ts)
+
+    def _step(self, op: str, **params) -> "FeatureEngine":
+        self.plan = self.plan.add(op, **params)
+        return self
+
+    def asof(self, state: DataFrame, name: str = "state", **kw) -> "FeatureEngine":
+        self._tables[name] = state
+        return self._step("asof", state=name, **kw)
+
+    def lag(self, cols, lags=(1,), leads=()) -> "FeatureEngine":
+        return self._step("lag", cols=list(cols), lags=list(lags), leads=list(leads))
+
+    def ffill(self, cols, out_suffix="_f") -> "FeatureEngine":
+        return self._step("ffill", cols=list(cols), out_suffix=out_suffix)
+
+    def bfill(self, cols, out_suffix="_b") -> "FeatureEngine":
+        return self._step("bfill", cols=list(cols), out_suffix=out_suffix)
+
+    def sessionize(self, gap="30 minutes") -> "FeatureEngine":
+        return self._step("sessionize", gap=gap)
+
+    def rolling(self, aggs, window) -> "FeatureEngine":
+        return self._step("rolling", aggs=aggs, window=window)
+
+    def cumulative(self, aggs) -> "FeatureEngine":
+        return self._step("cumulative", aggs=aggs)
+
+    def row_features(self, specs) -> "FeatureEngine":
+        return self._step("row_features", specs=[list(s) for s in specs])
+
+    def to_df(self) -> DataFrame:
+        return lower(self._probes, self.plan, self._tables)

@@ -30,23 +30,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
-from engine.asof import asof_join
 from engine.checkpoint import PID_COL, CheckpointManager, ParquetJournalTableIO, with_partition_id
 from engine.io import read_table
-from engine.window_ops import lag_features, rolling_aggregates, sessionize
+from engine.plan import FeatureEngine
 
 
 def build_features(probes, state, entity, probe_ts, values, gap, lags):
-    feat = asof_join(
-        probes, state, on=entity, probe_ts=probe_ts, state_ts="ts",
-        values=values, suffix="_last",
+    """Build the flagship pipeline through the FeaturePlan IR (§3.1) so the
+    serialized plan rides in the checkpoint lineage — a resumed job can
+    prove exactly what pipeline produced each committed partition."""
+    eng = (
+        FeatureEngine(probes, entity=entity, ts=probe_ts)
+        .asof(state, values=values, suffix="_last")
+        .lag([values[0] + "_last"], lags=list(lags))
+        .sessionize(gap)
+        .rolling({values[0] + "_last": ["count", "sum"]}, "1 day")
     )
-    feat = lag_features(feat, entity, probe_ts, [values[0] + "_last"], lags=lags)
-    feat = sessionize(feat, entity, probe_ts, gap=gap)
-    feat = rolling_aggregates(
-        feat, entity, probe_ts, {values[0] + "_last": ["count", "sum"]}, window="1 day"
-    )
-    return feat
+    return eng.to_df(), eng.plan
 
 
 def main(argv=None):
@@ -92,23 +92,25 @@ def main(argv=None):
     print(f"partitions={args.partitions} pending={len(pending)} "
           f"committed={args.partitions - len(pending)}")
 
-    lineage = {
-        "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},
-        "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions},
-        "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),
-    }
-
     probes_p = with_partition_id(probes, entity, args.partitions)
     state_p = with_partition_id(state, entity, args.partitions)
 
     t_start = time.time()
     total_rows = 0
     chunks_done = 0
+    lineage = None
     for i in range(0, len(pending), args.chunk_size):
         chunk = pending[i : i + args.chunk_size]
         cp = probes_p.where(F.col(PID_COL).isin(chunk))
         cs = state_p.where(F.col(PID_COL).isin(chunk)).drop(PID_COL)
-        feat = build_features(cp, cs, entity, probe_ts, values, args.gap, args.lags)
+        feat, plan = build_features(cp, cs, entity, probe_ts, values, args.gap, args.lags)
+        if lineage is None:
+            lineage = {
+                "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},
+                "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions},
+                "plan": plan.to_dict(),
+                "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),
+            }
         stats = mgr.run_chunk(chunk, feat, lineage)
         total_rows += stats["rows"]
         chunks_done += 1

@@ -10,7 +10,11 @@ def test_oracle_keys_subset():
     assert set(os_) <= set(qs)
     # every oracle-less query is intentionally rows-only
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"flagship_sequences"}, rows_only
+    assert rows_only == {
+        "flagship_sequences",   # synthetic corpus, pandas-oracle-tested
+        "simhash_pairs",        # xxhash64 has no DuckDB analogue
+        "multimodal_decode",    # synthetic binary payloads, stub decoder
+    }, rows_only
 
 
 def test_entry_returns_rows(spark):
