@@ -96,6 +96,17 @@ def q_asof_merge(spark, sf_dir):
     )
 
 
+def q_asof_bucketed(spark, sf_dir):
+    """A1b: skew-proof as-of (window over (entity, time bucket) + cross-bucket
+    carry) — identical semantics to asof_union, hot keys parallelized."""
+    probes, state = _probe_state(spark, sf_dir)
+    return asof_join(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value", "etype"], suffix="_last", strategy="bucketed",
+        bucket="6 hours",
+    )
+
+
 def q_asof_strict(spark, sf_dir):
     probes, state = _probe_state(spark, sf_dir)
     return asof_join(
@@ -613,7 +624,108 @@ SELECT doc_id, md5(text) AS md5_full,
        list_min(list_transform({_shingles_sql()}, s -> md5(s))) AS shingle_minhash
 FROM wt
 """,
+        "broadcast_dims": """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "snapshot_diff": """
+WITH a AS (SELECT doc_id, source FROM documents WHERE n_chars >= 100),
+     b AS (SELECT doc_id, source FROM documents WHERE lang = 'en')
+SELECT doc_id, source, 'a_only' AS side FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) t
+UNION ALL
+SELECT doc_id, source, 'both' AS side FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+""",
     }
+
+
+def q_broadcast_dims(spark, sf_dir):
+    """A4 + A5 (SURVEY.md §2.3): shuffle equi-join to ``customer`` (too big to
+    broadcast at corpus scale), explicit ``broadcast()`` of the tiny
+    ``nation``/``region`` dims — revenue per region × nation."""
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """G1 hash agg over ``lineitem`` (TPC-H Q1 pattern): pushed-down date
+    filter + grouped sums. Per-row products are exact 6-decimal values, so
+    DECIMAL(18,6) sums are hash-exact across engines; averages derive from
+    exact sum / count."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(18,6)"))
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+        dsum(disc_price).cast("double").alias("sum_disc_price"),
+        dsum(charge).cast("double").alias("sum_charge"),
+        (dsum(F.col("l_quantity")).cast("double") / n).alias("avg_qty"),
+        (dsum(F.col("l_extendedprice")).cast("double") / n).alias("avg_price"),
+        n.alias("count_order"),
+    )
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """O5 set ops (SURVEY.md §2.6): corpus diffing between two snapshots —
+    rows only in snapshot A (EXCEPT ALL) and rows in both (INTERSECT)."""
+    d = read_table(spark, sf_dir, "documents")
+    snap_a = d.where(F.col("n_chars") >= 100).select("doc_id", "source")
+    snap_b = d.where(F.col("lang") == "en").select("doc_id", "source")
+    removed = snap_a.exceptAll(snap_b).withColumn("side", F.lit("a_only"))
+    common = snap_a.intersect(snap_b).withColumn("side", F.lit("both"))
+    return removed.unionByName(common)
+
+
+def q_approx_distinct(spark, sf_dir):
+    """G3: HLL++ approximate per-key cardinality next to the exact count
+    (rows-only check — sketch estimates are engine-specific by design; the
+    exact-only variant is oracle-checked as ``distinct_users``)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -633,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_union": q_asof_union,
         "asof_merge": q_asof_merge,
+        "asof_bucketed": q_asof_bucketed,
         "asof_strict": q_asof_strict,
         "ffill": q_ffill,
         "bfill": q_bfill,
@@ -671,6 +784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_decode": q_multimodal_decode,
+        # classic relational surface (§2.3 A4/A5, §2.5 G1/G3, §2.6 O5)
+        "broadcast_dims": q_broadcast_dims,
+        "pricing_summary": q_pricing_summary,
+        "snapshot_diff": q_snapshot_diff,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -683,6 +801,7 @@ FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
     return {
         "asof_union": asof,
         "asof_merge": asof,
+        "asof_bucketed": asof,
         "asof_strict": f"""
 WITH {_PROBE_STATE_SQL}
 SELECT p.event_id, p.user_id, p.ts, s.value AS value_last, s.etype AS etype_last

@@ -18,6 +18,28 @@ Two physical strategies, identical semantics (tests assert equality):
   equivalence test; also the extension point for merge kernels pandas has but
   SQL windows don't.
 
+* ``strategy="bucketed"`` (skew-proof, pure JVM): the explicit-salting answer
+  for HOT entities (BASELINE.json:6 "explicit salting for skewed doc_id
+  keys"). Window functions get no help from AQE skew handling — a key holding
+  20% of rows becomes one serial task under the other strategies (Amdahl
+  ceiling). Here the window partitions by ``(entity, time_bucket)`` so a hot
+  entity's timeline splits across buckets; probes whose bucket holds no
+  earlier state take a carry-in: the per-(entity, bucket) last state payload,
+  forward-filled across buckets on a table that is |entities × active
+  buckets| — tiny relative to the fact table WHEN keys are hot. Identical
+  semantics (equality asserted in tests), unbounded parallelism in the time
+  dimension. Overhead note: when applied to millions of COLD keys the carry
+  table degenerates to fact-table cardinality — that is what ``hybrid`` is
+  for.
+
+* ``strategy="hybrid"`` (the production default for skewed corpora): one
+  cheap partial-aggregated count per key decides, per entity, which physical
+  path it takes — keys above ``hot_threshold`` rows go through the bucketed
+  time-split path (parallel despite skew), the long tail goes through the
+  plain union window (zero overhead). Results are unioned; semantics
+  identical. This is the standard hot/cold split used for skewed shuffles,
+  applied to the as-of axis where AQE cannot help.
+
 Last-known-value semantics match ``pd.merge_asof(direction='backward')``: the
 probe receives the values of the most recent state ROW (which may itself hold
 nulls) — not the most recent non-null per column (that is ``forward_fill``).
@@ -62,6 +84,8 @@ def asof_join(
     suffix: str = "",
     include_state_ts: str | None = None,
     num_partitions: int | None = None,
+    bucket: str = "1 day",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: each probe row gains the latest state values.
 
@@ -77,6 +101,13 @@ def asof_join(
         include_state_ts: if set, also emit the matched state timestamp under
             this name (null when no match).
         num_partitions: explicit shuffle width for the merge strategy.
+        bucket: time-bucket width for the bucketed strategy (SQL interval
+            string, e.g. "1 day", "6 hours") — pick ~(time span / desired
+            per-hot-key parallelism).
+        hot_threshold: (hybrid) combined probe+state rows per key above which
+            the key is routed through the bucketed path. None → auto: 4× the
+            mean rows per shuffle partition, floored at 100_000 — i.e. a key
+            only counts as hot when it would meaningfully unbalance a task.
     """
     keys = _as_list(on)
     state_ts = state_ts or probe_ts
@@ -95,10 +126,20 @@ def asof_join(
             probes, state, keys, probe_ts, state_ts, values, out_names,
             strict, include_state_ts, num_partitions,
         )
+    if strategy == "bucketed":
+        return _asof_bucketed(
+            probes, state, keys, probe_ts, state_ts, values, out_names,
+            strict, include_state_ts, bucket,
+        )
+    if strategy == "hybrid":
+        return _asof_hybrid(
+            probes, state, keys, probe_ts, state_ts, values, out_names,
+            strict, include_state_ts, bucket, hot_threshold,
+        )
     raise ValueError(f"unknown asof strategy: {strategy!r}")
 
 
-def _asof_union(
+def _tagged_union(
     probes: DataFrame,
     state: DataFrame,
     keys: list[str],
@@ -106,14 +147,15 @@ def _asof_union(
     state_ts: str,
     values: list[str],
     out_names: list[str],
-    strict: bool,
-    include_state_ts: str | None,
-) -> DataFrame:
+) -> tuple[DataFrame, list[str]]:
+    """Shared union-side builder for the union/bucketed strategies.
+
+    State rows carry their values inside ONE struct so "last state ROW" is
+    well-defined even when individual value columns are null (merge_asof
+    parity); the struct itself is null on probe rows, so ignorenulls skips
+    probes but never skips a state row.
+    """
     probe_cols = probes.columns
-    # State rows carry their values inside ONE struct so "last state ROW" is
-    # well-defined even when individual value columns are null (merge_asof
-    # parity); the struct itself is null on probe rows, so ignorenulls skips
-    # probes but never skips a state row.
     payload = F.struct(
         *[F.col(v).alias(n) for v, n in zip(values, out_names)],
         F.col(state_ts).cast("timestamp").alias("__state_ts"),
@@ -133,8 +175,39 @@ def _asof_union(
         F.lit(None).cast(state_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
         *[F.col(c) for c in probe_cols if c not in keys],
     )
-    unioned = state_side.unionByName(probe_side)
+    return state_side.unionByName(probe_side), probe_cols
 
+
+def _probe_projection(
+    probe_cols: list[str],
+    keys: list[str],
+    out_names: list[str],
+    include_state_ts: str | None,
+    payload_col: str = _PAYLOAD,
+) -> list:
+    return [
+        *keys,
+        *[c for c in probe_cols if c not in keys],
+        *[F.col(f"{payload_col}.{n}").alias(n) for n in out_names],
+        *( [F.col(f"{payload_col}.__state_ts").alias(include_state_ts)]
+           if include_state_ts else [] ),
+    ]
+
+
+def _asof_union(
+    probes: DataFrame,
+    state: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    state_ts: str,
+    values: list[str],
+    out_names: list[str],
+    strict: bool,
+    include_state_ts: str | None,
+) -> DataFrame:
+    unioned, probe_cols = _tagged_union(
+        probes, state, keys, probe_ts, state_ts, values, out_names
+    )
     # Tie policy via the secondary sort key: inclusive → state (0) sorts before
     # probe (1) at equal ts, so an exact-tie state row is inside the probe's
     # frame; strict → probe first, exact ties excluded.
@@ -145,15 +218,153 @@ def _asof_union(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
-
-    out = matched.where(F.col(_TAG) == 1).select(
-        *keys,
-        *[c for c in probe_cols if c not in keys],
-        *[F.col(f"{_PAYLOAD}.{n}").alias(n) for n in out_names],
-        *( [F.col(f"{_PAYLOAD}.__state_ts").alias(include_state_ts)]
-           if include_state_ts else [] ),
+    return matched.where(F.col(_TAG) == 1).select(
+        *_probe_projection(probe_cols, keys, out_names, include_state_ts)
     )
-    return out
+
+
+_BUCKET = "__afg_bucket"
+_CARRY = "__afg_carry"
+
+
+def _asof_bucketed(
+    probes: DataFrame,
+    state: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    state_ts: str,
+    values: list[str],
+    out_names: list[str],
+    strict: bool,
+    include_state_ts: str | None,
+    bucket: str,
+) -> DataFrame:
+    """Skew-proof as-of: window over (entity, time-bucket) + cross-bucket carry.
+
+    1. In-bucket pass — identical to the union strategy but partitioned by
+       ``(keys..., bucket)``: a hot entity's rows spread over its active
+       buckets instead of one task.
+    2. Carry table — per (entity, bucket) the LAST state payload (max_by over
+       (ts, tag-free payload ts)); forward-filled across buckets per entity
+       with a ``rowsBetween(unboundedPreceding, -1)`` window. This table has
+       one row per (entity, active bucket) — orders of magnitude smaller than
+       the fact table, so its per-entity window is not a skew risk.
+    3. Resolve — probes with no in-bucket match take the carry-in. Carry rows
+       come from strictly earlier buckets, hence strictly earlier timestamps,
+       so the strict/inclusive tie policy only matters in-bucket (step 1).
+    """
+    from engine.window_ops import parse_duration_seconds
+
+    bucket_us = int(parse_duration_seconds(bucket) * 1_000_000)
+    unioned, probe_cols = _tagged_union(
+        probes, state, keys, probe_ts, state_ts, values, out_names
+    )
+    unioned = unioned.withColumn(
+        _BUCKET, F.floor(F.col(_TS_KEY) / F.lit(bucket_us))
+    )
+
+    tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
+    w_in = (
+        Window.partitionBy(*keys, _BUCKET)
+        .orderBy(F.col(_TS_KEY).asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_in))
+    probes_m = matched.where(F.col(_TAG) == 1)
+
+    # Per-(entity, bucket) last state payload. Among exact-duplicate (ts)
+    # state rows the winner is resolved deterministically by the payload
+    # struct's field order — the same class of tie the window strategies
+    # resolve by arrival order (as does pd.merge_asof).
+    state_rows = unioned.where(F.col(_TAG) == 0)
+    bucket_last = state_rows.groupBy(*keys, _BUCKET).agg(
+        F.max_by(
+            F.col(_PAYLOAD), F.struct(F.col(_TS_KEY), F.col(_PAYLOAD))
+        ).alias(_PAYLOAD)
+    )
+    # Bucket axis = every (entity, bucket) seen on either side, so probes in
+    # state-free buckets still receive a carry row.
+    axis = unioned.select(*keys, _BUCKET).distinct()
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_BUCKET).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        axis.join(bucket_last, on=[*keys, _BUCKET], how="left")
+        .withColumn(_CARRY, F.last(_PAYLOAD, ignorenulls=True).over(w_carry))
+        .select(*keys, _BUCKET, _CARRY)
+    )
+
+    resolved = (
+        probes_m.join(carry, on=[*keys, _BUCKET], how="left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col(_PAYLOAD), F.col(_CARRY)))
+    )
+    return resolved.select(
+        *_probe_projection(probe_cols, keys, out_names, include_state_ts)
+    )
+
+
+_MAX_HOT_KEYS = 10_000
+
+
+def _asof_hybrid(
+    probes: DataFrame,
+    state: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    state_ts: str,
+    values: list[str],
+    out_names: list[str],
+    strict: bool,
+    include_state_ts: str | None,
+    bucket: str,
+    hot_threshold: int | None,
+) -> DataFrame:
+    """Hot/cold split: bucketed path for keys whose row count would serialize
+    a window task, plain union window for the long tail.
+
+    The hot-key scan is one partially-aggregated count (map-side combine means
+    the shuffle carries ~one row per key, not per fact row); the driver
+    collects at most ``_MAX_HOT_KEYS`` hot keys and compiles them into a
+    literal predicate, so both branch filters push down to the scans. With no
+    hot keys this degenerates to the union strategy at zero extra plan cost.
+    """
+    spark = probes.sparkSession
+    if hot_threshold is None:
+        # keys that would meaningfully unbalance one shuffle task: 4x the
+        # mean rows per partition, floored so small inputs never split
+        n = probes.count() + state.count()
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        hot_threshold = max(100_000, (4 * n) // max(parts, 1))
+    hot_rows = (
+        probes.select(*keys)
+        .unionByName(state.select(*keys))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__afg_n"))
+        .where(F.col("__afg_n") >= hot_threshold)
+        .select(*keys)
+        .limit(_MAX_HOT_KEYS + 1)
+        .collect()
+    )
+    args = (keys, probe_ts, state_ts, values, out_names, strict, include_state_ts)
+    if not hot_rows:
+        return _asof_union(probes, state, *args)
+    if len(hot_rows) > _MAX_HOT_KEYS:
+        # pathological: most keys hot — time-split everything
+        return _asof_bucketed(probes, state, *args, bucket)
+
+    pred = None
+    for r in hot_rows:
+        conj = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.lit(r[k]))
+            conj = c if conj is None else (conj & c)
+        pred = conj if pred is None else (pred | conj)
+
+    cold = _asof_union(probes.where(~pred), state.where(~pred), *args)
+    hot = _asof_bucketed(probes.where(pred), state.where(pred), *args, bucket)
+    return cold.unionByName(hot)
 
 
 def _asof_merge(

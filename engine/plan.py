@@ -100,7 +100,8 @@ def _lower_asof(df, plan, p, tables):
         df, state, on=plan.entity, probe_ts=plan.ts,
         state_ts=p.get("state_ts", "ts"), values=p.get("values"),
         strict=p.get("strict", False), strategy=p.get("strategy", "union"),
-        suffix=p.get("suffix", ""),
+        suffix=p.get("suffix", ""), bucket=p.get("bucket", "1 day"),
+        hot_threshold=p.get("hot_threshold"),
     )
 
 
@@ -129,7 +130,10 @@ def _lower_sessionize(df, plan, p, tables):
 
 @_lowerer("rolling")
 def _lower_rolling(df, plan, p, tables):
-    return rolling_aggregates(df, plan.entity, plan.ts, p["aggs"], window=p["window"])
+    return rolling_aggregates(
+        df, plan.entity, plan.ts, p["aggs"], window=p["window"],
+        method=p.get("method", "frame"),
+    )
 
 
 @_lowerer("cumulative")
@@ -197,8 +201,8 @@ class FeatureEngine:
     def sessionize(self, gap="30 minutes") -> "FeatureEngine":
         return self._step("sessionize", gap=gap)
 
-    def rolling(self, aggs, window) -> "FeatureEngine":
-        return self._step("rolling", aggs=aggs, window=window)
+    def rolling(self, aggs, window, method="frame") -> "FeatureEngine":
+        return self._step("rolling", aggs=aggs, window=window, method=method)
 
     def cumulative(self, aggs) -> "FeatureEngine":
         return self._step("cumulative", aggs=aggs)

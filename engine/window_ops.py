@@ -123,35 +123,121 @@ def rolling_aggregates(
     ts: str,
     aggs: dict[str, Sequence[str]],
     window: str | int | float = "1 hour",
+    method: str = "frame",
 ) -> DataFrame:
     """W5: trailing time-range aggregates per entity — events in [t-W, t].
 
     ``aggs`` maps column → aggregate names among {count,sum,avg,min,max,stddev}.
     Output columns ``{col}_{fn}_{suffix}`` where suffix is the window spec with
-    spaces stripped (e.g. value_sum_1hour). Range frame over epoch-microseconds,
-    inclusive both ends, matching SQL ``RANGE BETWEEN INTERVAL W PRECEDING AND
-    CURRENT ROW``.
+    spaces stripped (e.g. value_sum_1hour). Inclusive both ends, matching SQL
+    ``RANGE BETWEEN INTERVAL W PRECEDING AND CURRENT ROW``.
+
+    Two physical methods, identical semantics (allclose; tests compare both):
+
+    * ``method="frame"`` (default): one window with a sliding RANGE frame.
+      Bit-for-bit the SQL answer (used by the DuckDB-oracle queries). Caveat
+      at scale: Spark re-evaluates sliding-frame aggregates per row — O(rows
+      × frame) per entity, serial per entity — so a hot key with n rows and
+      wide frames costs n·w in ONE task.
+    * ``method="prefix"``: decomposable aggregates (count/sum/avg/stddev)
+      as running cumulative sums (incremental expanding frame, O(n)) minus
+      their value at the window cutoff, fetched via the engine's own as-of
+      join (strategy U) at ``t − W − 1µs``. Turns the hot-key cost from
+      O(n·w) serial into O(n) — the scalable path for skewed corpora (used
+      by the flagship job). Float results are allclose-but-not-bitwise vs
+      "frame" (subtraction of prefix sums). min/max do not decompose and
+      are rejected under this method.
     """
     win_us = int(parse_duration_seconds(window) * 1_000_000)
     suffix = (
         window.replace(" ", "") if isinstance(window, str) else f"{int(window)}s"
     )
-    order = epoch_micros(ts)
-    w = (
-        Window.partitionBy(*_as_list(entity))
-        .orderBy(order)
-        .rangeBetween(-win_us, 0)
+    ents = _as_list(entity)
+    if method == "frame":
+        order = epoch_micros(ts)
+        w = (
+            Window.partitionBy(*ents)
+            .orderBy(order)
+            .rangeBetween(-win_us, 0)
+        )
+        fns = {
+            "count": F.count, "sum": F.sum, "avg": F.avg, "mean": F.avg,
+            "min": F.min, "max": F.max, "stddev": F.stddev,
+        }
+        exprs = [
+            fns[n](F.col(c)).over(w).alias(f"{c}_{n}_{suffix}")
+            for c, names in aggs.items()
+            for n in names
+        ]
+        return df.select("*", *exprs)
+    if method != "prefix":
+        raise ValueError(f"unknown rolling method: {method!r}")
+
+    decomposable = {"count", "sum", "avg", "mean", "stddev"}
+    bad = [n for ns in aggs.values() for n in ns if n not in decomposable]
+    if bad:
+        raise ValueError(f"method='prefix' cannot compute {bad}; use method='frame'")
+
+    from engine.asof import asof_join  # local import: asof.py imports this module
+
+    wcum = (
+        Window.partitionBy(*ents)
+        .orderBy(epoch_micros(ts))
+        .rangeBetween(Window.unboundedPreceding, 0)  # peer-inclusive, incremental
     )
-    fns = {
-        "count": F.count, "sum": F.sum, "avg": F.avg, "mean": F.avg,
-        "min": F.min, "max": F.max, "stddev": F.stddev,
-    }
-    exprs = [
-        fns[n](F.col(c)).over(w).alias(f"{c}_{n}_{suffix}")
-        for c, names in aggs.items()
-        for n in names
-    ]
-    return df.select("*", *exprs)
+    d = df
+    partials: list[str] = []
+
+    def add(name, col):
+        nonlocal d
+        if name not in partials:
+            d = d.withColumn(name, col)
+            partials.append(name)
+
+    for c, names in aggs.items():
+        need = set(names)
+        # count partial always needed: it gates the empty-window → NULL rule
+        add(f"__cn_{c}", F.count(c).over(wcum))
+        if need & {"sum", "avg", "mean", "stddev"}:
+            add(f"__cs_{c}", F.sum(c).over(wcum))
+        if "stddev" in need:
+            add(f"__cq_{c}", F.sum(F.col(c) * F.col(c)).over(wcum))
+
+    cut = "__afg_cutoff_ts"
+    state_ts = "__afg_prefix_ts"
+    d = d.withColumn(cut, F.timestamp_micros(epoch_micros(ts) - F.lit(win_us + 1)))
+    # State rows at tied timestamps carry identical range-frame cums, so the
+    # as-of's arbitrary pick among exact ties cannot change the result.
+    state = d.select(*ents, F.col(ts).alias(state_ts), *partials)
+    joined = asof_join(
+        d, state, on=ents, probe_ts=cut, state_ts=state_ts,
+        values=partials, suffix="_b", strategy="union",
+    )
+
+    def minus(cur, base):
+        return F.col(cur) - F.coalesce(F.col(base), F.lit(0))
+
+    out = joined
+    for c, names in aggs.items():
+        n_w = minus(f"__cn_{c}", f"__cn_{c}_b")
+        s_w = minus(f"__cs_{c}", f"__cs_{c}_b") if f"__cs_{c}" in partials else None
+        for n in names:
+            o = f"{c}_{n}_{suffix}"
+            if n == "count":
+                out = out.withColumn(o, n_w.cast("long"))
+            elif n == "sum":
+                out = out.withColumn(o, F.when(n_w > 0, s_w))
+            elif n in ("avg", "mean"):
+                out = out.withColumn(o, F.when(n_w > 0, s_w / n_w))
+            elif n == "stddev":
+                q_w = minus(f"__cq_{c}", f"__cq_{c}_b")
+                var = (q_w - s_w * s_w / n_w) / (n_w - F.lit(1))
+                out = out.withColumn(
+                    o,
+                    F.when(n_w > 1, F.sqrt(F.greatest(var, F.lit(0.0)))),
+                )
+    drop = [cut, *partials, *[p + "_b" for p in partials]]
+    return out.drop(*drop)
 
 
 def cumulative_stats(

@@ -35,16 +35,17 @@ from engine.io import read_table
 from engine.plan import FeatureEngine
 
 
-def build_features(probes, state, entity, probe_ts, values, gap, lags):
+def build_features(probes, state, entity, probe_ts, values, gap, lags,
+                   asof_strategy="hybrid"):
     """Build the flagship pipeline through the FeaturePlan IR (§3.1) so the
     serialized plan rides in the checkpoint lineage — a resumed job can
     prove exactly what pipeline produced each committed partition."""
     eng = (
         FeatureEngine(probes, entity=entity, ts=probe_ts)
-        .asof(state, values=values, suffix="_last")
+        .asof(state, values=values, suffix="_last", strategy=asof_strategy)
         .lag([values[0] + "_last"], lags=list(lags))
         .sessionize(gap)
-        .rolling({values[0] + "_last": ["count", "sum"]}, "1 day")
+        .rolling({values[0] + "_last": ["count", "sum"]}, "1 day", method="prefix")
     )
     return eng.to_df(), eng.plan
 
@@ -60,6 +61,9 @@ def main(argv=None):
     ap.add_argument("--gap", default="30 minutes")
     ap.add_argument("--lags", type=int, nargs="+", default=[1])
     ap.add_argument("--parallelism", type=int, default=0, help="spark.sql.shuffle.partitions")
+    ap.add_argument("--asof-strategy", default="hybrid",
+                    choices=["union", "merge", "bucketed", "hybrid"],
+                    help="physical as-of strategy; hybrid = hot/cold skew split")
     ap.add_argument("--kill-after-chunks", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -103,7 +107,8 @@ def main(argv=None):
         chunk = pending[i : i + args.chunk_size]
         cp = probes_p.where(F.col(PID_COL).isin(chunk))
         cs = state_p.where(F.col(PID_COL).isin(chunk)).drop(PID_COL)
-        feat, plan = build_features(cp, cs, entity, probe_ts, values, args.gap, args.lags)
+        feat, plan = build_features(cp, cs, entity, probe_ts, values, args.gap,
+                                    args.lags, asof_strategy=args.asof_strategy)
         if lineage is None:
             lineage = {
                 "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},

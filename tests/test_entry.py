@@ -14,6 +14,7 @@ def test_oracle_keys_subset():
         "flagship_sequences",   # synthetic corpus, pandas-oracle-tested
         "simhash_pairs",        # xxhash64 has no DuckDB analogue
         "multimodal_decode",    # synthetic binary payloads, stub decoder
+        "approx_distinct",      # HLL++ sketch estimates are engine-specific
     }, rows_only
 
 

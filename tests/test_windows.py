@@ -60,15 +60,40 @@ def test_sessionize(events, pevents):
     assert (g.astype("int64").values == want.astype("int64").values).all()
 
 
+@pytest.mark.parametrize("method", ["frame", "prefix"])
 @pytest.mark.parametrize("fn", ["count", "sum", "avg"])
-def test_rolling(events, pevents, fn):
+def test_rolling(events, pevents, fn, method):
     got = rolling_aggregates(
-        events, "doc_id", "ts", {"fvalue": [fn]}, window="2 days"
+        events, "doc_id", "ts", {"fvalue": [fn]}, window="2 days", method=method
     ).toPandas()
     want = oracle_rolling(pevents, "doc_id", "ts", "fvalue", 2 * 86400, fn)
     want = want.reset_index(drop=True)
     g = _aligned(got, f"fvalue_{fn}_2days")
     assert np.allclose(g.astype(float), want.astype(float), equal_nan=True)
+
+
+def test_rolling_stddev_methods_agree(events):
+    f = rolling_aggregates(
+        events, "doc_id", "ts", {"fvalue": ["stddev"]}, window="2 days", method="frame"
+    ).toPandas()
+    p = rolling_aggregates(
+        events, "doc_id", "ts", {"fvalue": ["stddev"]}, window="2 days", method="prefix"
+    ).toPandas()
+    key = ["doc_id", "ts"]
+    f = f.sort_values(key, kind="mergesort").reset_index(drop=True)
+    p = p.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert np.allclose(
+        f["fvalue_stddev_2days"].astype(float),
+        p["fvalue_stddev_2days"].astype(float),
+        equal_nan=True,
+    )
+
+
+def test_rolling_prefix_rejects_minmax(events):
+    with pytest.raises(ValueError, match="prefix"):
+        rolling_aggregates(
+            events, "doc_id", "ts", {"fvalue": ["min"]}, window="1 day", method="prefix"
+        )
 
 
 def test_cumulative(events, pevents):
