@@ -84,8 +84,10 @@ def asof_join(
     suffix: str = "",
     include_state_ts: str | None = None,
     num_partitions: int | None = None,
-    bucket: str = "1 day",
+    bucket: str | int | float = "1 day",
     hot_threshold: int | None = None,
+    hot_keys: list | None = None,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Backward as-of join: each probe row gains the latest state values.
 
@@ -108,6 +110,15 @@ def asof_join(
             the key is routed through the bucketed path. None → auto: 4× the
             mean rows per shuffle partition, floored at 100_000 — i.e. a key
             only counts as hot when it would meaningfully unbalance a task.
+        hot_keys: (hybrid) explicit pre-detected hot keys (e.g. from
+            ``engine.skew.detect_hot_keys``) — skips the count job, so a
+            pipeline detecting once can share the list across operators.
+        persist_intermediate: (bucketed/hybrid) cache the tagged union that
+            the bucketed plan's three consumers (in-bucket window, per-bucket
+            last-state aggregate, bucket axis) all read — one evaluation
+            instead of three. MEMORY_AND_DISK; intended when the input is
+            already reduced to hot keys (bounded size), not for a full
+            10^12-row corpus.
     """
     keys = _as_list(on)
     state_ts = state_ts or probe_ts
@@ -129,12 +140,12 @@ def asof_join(
     if strategy == "bucketed":
         return _asof_bucketed(
             probes, state, keys, probe_ts, state_ts, values, out_names,
-            strict, include_state_ts, bucket,
+            strict, include_state_ts, bucket, persist_intermediate,
         )
     if strategy == "hybrid":
         return _asof_hybrid(
             probes, state, keys, probe_ts, state_ts, values, out_names,
-            strict, include_state_ts, bucket, hot_threshold,
+            strict, include_state_ts, bucket, hot_threshold, hot_keys,
         )
     raise ValueError(f"unknown asof strategy: {strategy!r}")
 
@@ -238,6 +249,7 @@ def _asof_bucketed(
     strict: bool,
     include_state_ts: str | None,
     bucket: str,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Skew-proof as-of: window over (entity, time-bucket) + cross-bucket carry.
 
@@ -262,6 +274,10 @@ def _asof_bucketed(
     unioned = unioned.withColumn(
         _BUCKET, F.floor(F.col(_TS_KEY) / F.lit(bucket_us))
     )
+    if persist_intermediate:
+        from pyspark import StorageLevel
+
+        unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
 
     tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
     w_in = (
@@ -320,6 +336,7 @@ def _asof_hybrid(
     include_state_ts: str | None,
     bucket: str,
     hot_threshold: int | None,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Hot/cold split: bucketed path for keys whose row count would serialize
     a window task, plain union window for the long tail.
@@ -331,39 +348,41 @@ def _asof_hybrid(
     hot keys this degenerates to the union strategy at zero extra plan cost.
     """
     spark = probes.sparkSession
-    if hot_threshold is None:
-        # keys that would meaningfully unbalance one shuffle task: 4x the
-        # mean rows per partition, floored so small inputs never split
-        n = probes.count() + state.count()
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        hot_threshold = max(100_000, (4 * n) // max(parts, 1))
-    hot_rows = (
-        probes.select(*keys)
-        .unionByName(state.select(*keys))
-        .groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__afg_n"))
-        .where(F.col("__afg_n") >= hot_threshold)
-        .select(*keys)
-        .limit(_MAX_HOT_KEYS + 1)
-        .collect()
-    )
+    if hot_keys is None:
+        if hot_threshold is None:
+            # keys that would meaningfully unbalance one shuffle task: 4x the
+            # mean rows per partition, floored so small inputs never split
+            n = probes.count() + state.count()
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            hot_threshold = max(100_000, (4 * n) // max(parts, 1))
+        hot_keys = (
+            probes.select(*keys)
+            .unionByName(state.select(*keys))
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__afg_n"))
+            .where(F.col("__afg_n") >= hot_threshold)
+            .select(*keys)
+            .limit(_MAX_HOT_KEYS + 1)
+            .collect()
+        )
     args = (keys, probe_ts, state_ts, values, out_names, strict, include_state_ts)
-    if not hot_rows:
+    if not hot_keys:
         return _asof_union(probes, state, *args)
-    if len(hot_rows) > _MAX_HOT_KEYS:
+    if len(hot_keys) > _MAX_HOT_KEYS:
         # pathological: most keys hot — time-split everything
         return _asof_bucketed(probes, state, *args, bucket)
 
-    pred = None
-    for r in hot_rows:
-        conj = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.lit(r[k]))
-            conj = c if conj is None else (conj & c)
-        pred = conj if pred is None else (pred | conj)
+    from engine.hotwin import hot_predicate
+
+    pred = hot_predicate(keys, hot_keys)
 
     cold = _asof_union(probes.where(~pred), state.where(~pred), *args)
-    hot = _asof_bucketed(probes.where(pred), state.where(pred), *args, bucket)
+    # hot side is bounded (≤ _MAX_HOT_KEYS keys), so caching its tagged
+    # union across the bucketed plan's three consumers is safe
+    hot = _asof_bucketed(
+        probes.where(pred), state.where(pred), *args, bucket,
+        persist_intermediate=True,
+    )
     return cold.unionByName(hot)
 
 

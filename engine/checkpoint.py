@@ -76,14 +76,37 @@ class ParquetJournalTableIO:
 
     # -- data -------------------------------------------------------------
     def write_partitions(self, df: DataFrame) -> None:
-        """Append output for a batch of pids; directory-per-pid layout so a
-        partial write of pid K never corrupts other pids, and the journal is
-        the single source of truth for what is committed."""
+        """Write output for a batch of pids, directory-per-pid layout.
+
+        DYNAMIC partition overwrite, not append: if a previous attempt died
+        after some parquet files landed but before the journal rename, the
+        pid directory holds orphan files — an append on retry would silently
+        duplicate those rows. Dynamic overwrite replaces exactly the pid
+        directories being (re)written and leaves committed pids untouched,
+        making retries idempotent (the journal stays the single source of
+        truth for what is committed)."""
         (
-            df.write.mode("append")
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(PID_COL)
             .parquet(self.data_dir)
         )
+
+    def count_rows(self, pids: list[int]) -> dict[int, int]:
+        """Per-pid row counts from parquet footer metadata — no Spark job,
+        no second evaluation of the chunk DAG."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        for pid in pids:
+            pdir = os.path.join(self.data_dir, f"{PID_COL}={pid}")
+            n = 0
+            if os.path.isdir(pdir):
+                for f in os.listdir(pdir):
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+            out[pid] = n
+        return out
 
     def read_all(self, spark: SparkSession, committed_only: bool = True) -> DataFrame:
         df = spark.read.parquet(self.data_dir)
@@ -120,7 +143,11 @@ class IcebergTableIO:
         raise NotImplementedError("requires Iceberg runtime; see class docstring")
 
     def write_partitions(self, df: DataFrame) -> None:
-        df.writeTo(self.table).append()
+        df.writeTo(self.table).overwritePartitions()
+
+    def count_rows(self, pids: list[int]) -> dict[int, int]:
+        # real impl: added-records from the snapshot summary of each commit
+        raise NotImplementedError("requires Iceberg runtime; see class docstring")
 
     def read_all(self, spark, committed_only: bool = True) -> DataFrame:
         return spark.read.table(self.table)
@@ -138,14 +165,14 @@ class CheckpointManager:
         return [p for p in range(self.num_partitions) if p not in done]
 
     def run_chunk(self, pids: list[int], df_for_pids: DataFrame, lineage: dict) -> dict:
-        """Materialize one chunk and journal each pid with throughput metrics."""
+        """Materialize one chunk and journal each pid with throughput metrics.
+
+        One evaluation of the chunk DAG (the write); per-pid row counts come
+        from the written parquet footers, not a second count job."""
         t0 = time.time()
-        counts = {
-            r[PID_COL]: r["n"]
-            for r in df_for_pids.groupBy(PID_COL).agg(F.count(F.lit(1)).alias("n")).collect()
-        }
         self.io.write_partitions(df_for_pids)
         wall = time.time() - t0
+        counts = self.io.count_rows(pids)
         total = sum(counts.values()) or 1
         for pid in pids:
             rows = counts.get(pid, 0)

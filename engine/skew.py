@@ -46,6 +46,44 @@ def with_salt(
     return df.withColumn(salt_col, salt.cast("int"))
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    threshold: int,
+    max_keys: int = 10_000,
+    sample_fraction: float | None = None,
+) -> list:
+    """Keys with ≥ ``threshold`` rows — ONE partially-aggregated count job
+    (the shuffle carries ~one row per key, not per fact row). Returns scalar
+    values for a single key column, Rows for composite keys; capped at
+    ``max_keys`` (by definition at most |df| / threshold keys qualify).
+
+    Used to route hot entities to the time-bucketed plans (as-of hybrid
+    strategy, engine.hotwin window ops) while the long tail keeps the plain
+    single-window plans.
+
+    ``sample_fraction``: detect on a Bernoulli sample (threshold scaled
+    accordingly) — hot keys are by definition orders of magnitude above the
+    threshold, so sampling error cannot flip them; routing a borderline key
+    either way is a performance choice, never a correctness one.
+    """
+    keylist = _as_list(keys)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=7)
+        threshold = max(1, int(threshold * sample_fraction))
+    rows = (
+        df.groupBy(*keylist)
+        .agg(F.count(F.lit(1)).alias("__afg_n"))
+        .where(F.col("__afg_n") >= threshold)
+        .select(*keylist)
+        .limit(max_keys)
+        .collect()
+    )
+    if len(keylist) == 1:
+        return [r[keylist[0]] for r in rows]
+    return rows
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -111,14 +111,14 @@ def stateful_ffill(
         for pdf in pdfs:
             pdf = pdf.sort_values(ts).reset_index(drop=True)
             for c in cols:
-                filled = []
-                cur = last[c]
-                for v in pdf[c]:
-                    if pd.notna(v):
-                        cur = v
-                    filled.append(cur)
+                # vectorized carry-forward seeded with the cross-batch state
+                seeded = pd.concat(
+                    [pd.Series([last[c]], dtype=pdf[c].dtype), pdf[c]],
+                    ignore_index=True,
+                )
+                filled = seeded.ffill().iloc[1:].reset_index(drop=True)
                 pdf[c + "_f"] = filled
-                last[c] = cur
+                last[c] = filled.iloc[-1] if len(filled) else last[c]
             yield pdf[fields]
         state.update(tuple(last[c] for c in cols))
 

@@ -57,3 +57,38 @@ def test_resume_without_recompute(spark, tmp_path):
         rec = json.load(fh)
     assert rec["lineage"]["params"]["partitions"] == 8
     assert "rows_per_s" in rec["metrics"] and "rows_out" in rec["metrics"]
+
+
+@pytest.mark.slow
+def test_resume_replaces_orphan_files(spark, tmp_path):
+    """A crash AFTER parquet files land but BEFORE the journal rename leaves
+    orphans in an uncommitted pid directory; the retry must REPLACE them
+    (dynamic partition overwrite), not append duplicates."""
+    clean = str(tmp_path / "clean")
+    faulty = str(tmp_path / "faulty")
+    r = _run(clean)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    r1 = _run(faulty, "--kill-after-chunks", "1")
+    assert r1.returncode == 42
+    committed = {
+        int(f[4:-5]) for f in os.listdir(os.path.join(faulty, "_journal"))
+    }
+    orphan_pid = next(p for p in range(8) if p not in committed)
+    # simulate the partial write: copy a committed pid's files into the
+    # uncommitted pid's directory (same schema, plausible leftover)
+    data = os.path.join(faulty, "data")
+    src = os.path.join(data, f"__pid={min(committed)}")
+    dst = os.path.join(data, f"__pid={orphan_pid}")
+    os.makedirs(dst, exist_ok=True)
+    import shutil
+
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dst, "orphan-" + f))
+
+    r2 = _run(faulty)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    a = _read_output(spark, clean)
+    b = _read_output(spark, faulty)
+    pd.testing.assert_frame_equal(a, b)
