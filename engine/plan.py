@@ -151,25 +151,119 @@ def _lower_agg_features(df, plan, p, tables):
     return agg_features(df, p.get("key", plan.entity), p["aggs"])
 
 
+# ops whose plain lowering serializes a hot entity into one window task
+_PER_ENTITY_OPS = {"asof", "lag", "ffill", "sessionize", "rolling", "cumulative"}
+
+
+def _lower_hot_step(df, plan, step, tables, bucket_us):
+    """Time-bucketed lowering for the hot branch (engine.hotwin / bucketed
+    as-of). Ops without a bucketed variant (bfill, non-entity steps) fall
+    back to the plain lowering — an O(n) serial task per hot key at worst."""
+    from engine import hotwin
+    from engine.window_ops import parse_duration_seconds
+
+    p = step.params
+    if step.op == "asof":
+        state = tables[p["state"]]
+        values = p.get("values")
+        return asof_join(
+            df, state, on=plan.entity, probe_ts=plan.ts,
+            state_ts=p.get("state_ts", "ts"), values=values,
+            strict=p.get("strict", False), suffix=p.get("suffix", ""),
+            strategy="bucketed", bucket=bucket_us / 1e6,
+            persist_intermediate=True,
+        )
+    if step.op == "lag":
+        return hotwin.bucketed_lag_features(
+            df, plan.entity, plan.ts, p["cols"],
+            lags=p.get("lags", [1]), leads=p.get("leads", []),
+            bucket_us=bucket_us,
+        )
+    if step.op == "ffill":
+        return hotwin.bucketed_forward_fill(
+            df, plan.entity, plan.ts, p["cols"],
+            out_suffix=p.get("out_suffix", "_f"), bucket_us=bucket_us,
+        )
+    if step.op == "sessionize":
+        gap_us = int(parse_duration_seconds(p.get("gap", "30 minutes")) * 1_000_000)
+        return hotwin.bucketed_sessionize(
+            df, plan.entity, plan.ts, gap_us, bucket_us=bucket_us
+        )
+    if step.op == "rolling":
+        # hot branch always uses the O(n) prefix method (frame would be
+        # O(rows x frame) serial); column names and semantics match
+        return rolling_aggregates(
+            df, plan.entity, plan.ts, p["aggs"], window=p["window"],
+            method="prefix", _bucket_us=bucket_us,
+        )
+    if step.op == "cumulative":
+        try:
+            return hotwin.bucketed_cumulative_stats(
+                df, plan.entity, plan.ts, p["aggs"], bucket_us=bucket_us
+            )
+        except ValueError:  # unsupported agg (e.g. stddev): plain fallback
+            pass
+    return _LOWERERS[step.op](df, plan, p, tables)
+
+
 def lower(
     probes: DataFrame,
     plan: FeaturePlan,
     tables: Mapping[str, DataFrame] | None = None,
+    hot_keys: list | None = None,
+    bucket: str | int | float = "1 day",
+    persist_hot: bool = True,
 ) -> DataFrame:
     """FeaturePlan → DataFrame by composing §2 operators in step order.
 
     All window-family steps share ``partitionBy(entity)``, so Catalyst
     plans ONE shuffle for the whole chain (verified: the flagship 5-step
-    plan compiles to a single Exchange)."""
+    plan compiles to a single Exchange).
+
+    ``hot_keys`` (e.g. from ``engine.skew.detect_hot_keys``): pipeline-level
+    hot/cold split — the plan is lowered TWICE, once plainly over the cold
+    keys and once with the time-bucketed variants over the hot keys, then
+    unioned. Splitting once per pipeline keeps both chains linear (per-op
+    splitting would fork the DAG at every step). ``persist_hot`` caches the
+    hot branch between per-entity steps (bucketed ops aggregate their own
+    input for carry tables; the hot subset is bounded by construction).
+    """
     tables = tables or {}
-    df = probes
+    if not hot_keys:
+        df = probes
+        for step in plan.steps:
+            try:
+                fn = _LOWERERS[step.op]
+            except KeyError:
+                raise ValueError(f"unknown plan op: {step.op!r}") from None
+            df = fn(df, plan, step.params, tables)
+        return df
+
+    from pyspark.sql import functions as F
+
+    from engine import hotwin
+    from engine.window_ops import parse_duration_seconds
+
+    bucket_us = int(parse_duration_seconds(bucket) * 1_000_000)
+    pred = hotwin.hot_predicate(plan.entity, hot_keys)
+    not_hot = ~F.coalesce(pred, F.lit(False))
+
+    def filt(df, cond):
+        return df.where(cond) if plan.entity in df.columns else df
+
+    cold = lower(
+        filt(probes, not_hot), plan,
+        {k: filt(v, not_hot) for k, v in tables.items()},
+    )
+    hot_tables = {k: filt(v, pred) for k, v in tables.items()}
+    hot = filt(probes, pred)
     for step in plan.steps:
-        try:
-            fn = _LOWERERS[step.op]
-        except KeyError:
-            raise ValueError(f"unknown plan op: {step.op!r}") from None
-        df = fn(df, plan, step.params, tables)
-    return df
+        if step.op not in _LOWERERS:
+            raise ValueError(f"unknown plan op: {step.op!r}")
+        hot = _lower_hot_step(hot, plan, step, hot_tables, bucket_us)
+        if persist_hot and step.op in _PER_ENTITY_OPS:
+            hot = hot.persist()
+    return cold.unionByName(hot.select(*cold.columns))
 
 
 class FeatureEngine:
@@ -210,5 +304,12 @@ class FeatureEngine:
     def row_features(self, specs) -> "FeatureEngine":
         return self._step("row_features", specs=[list(s) for s in specs])
 
-    def to_df(self) -> DataFrame:
-        return lower(self._probes, self.plan, self._tables)
+    def to_df(
+        self,
+        hot_keys: list | None = None,
+        bucket: str | int | float = "1 day",
+    ) -> DataFrame:
+        return lower(
+            self._probes, self.plan, self._tables,
+            hot_keys=hot_keys, bucket=bucket,
+        )

@@ -36,18 +36,25 @@ from engine.plan import FeatureEngine
 
 
 def build_features(probes, state, entity, probe_ts, values, gap, lags,
-                   asof_strategy="hybrid"):
+                   asof_strategy="hybrid", hot_keys=None):
     """Build the flagship pipeline through the FeaturePlan IR (§3.1) so the
     serialized plan rides in the checkpoint lineage — a resumed job can
-    prove exactly what pipeline produced each committed partition."""
+    prove exactly what pipeline produced each committed partition.
+
+    With ``asof_strategy='hybrid'`` the hot/cold split happens at the
+    PIPELINE level (engine.plan.lower hot_keys=...): the plan steps stay
+    'union' and the lowering routes pre-detected hot keys through the
+    time-bucketed variants of every per-entity operator."""
+    step_strategy = "union" if asof_strategy == "hybrid" else asof_strategy
     eng = (
         FeatureEngine(probes, entity=entity, ts=probe_ts)
-        .asof(state, values=values, suffix="_last", strategy=asof_strategy)
+        .asof(state, values=values, suffix="_last", strategy=step_strategy)
         .lag([values[0] + "_last"], lags=list(lags))
         .sessionize(gap)
         .rolling({values[0] + "_last": ["count", "sum"]}, "1 day", method="prefix")
     )
-    return eng.to_df(), eng.plan
+    keys = hot_keys if asof_strategy == "hybrid" else None
+    return eng.to_df(hot_keys=keys), eng.plan
 
 
 def main(argv=None):
@@ -90,6 +97,21 @@ def main(argv=None):
             "user_id", "ts", "value", "event_type"
         )
 
+    hot_keys = None
+    if args.asof_strategy == "hybrid":
+        # per-input metadata, detected once (sampled partial-agg count);
+        # routing a borderline key either way is a performance choice only
+        from engine.skew import detect_hot_keys
+
+        n = probes.count() + state.count()
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        thr = max(10_000, (4 * n) // max(parts, 1))
+        hot_keys = detect_hot_keys(
+            probes.select(entity).unionByName(state.select(entity)), entity, thr,
+            sample_fraction=0.05 if n > 1_000_000 else None,
+        )
+        print(f"hot keys detected: {len(hot_keys)} (threshold {thr})")
+
     io = ParquetJournalTableIO(args.output)
     mgr = CheckpointManager(io, args.partitions)
     pending = mgr.pending()
@@ -108,11 +130,14 @@ def main(argv=None):
         cp = probes_p.where(F.col(PID_COL).isin(chunk))
         cs = state_p.where(F.col(PID_COL).isin(chunk)).drop(PID_COL)
         feat, plan = build_features(cp, cs, entity, probe_ts, values, args.gap,
-                                    args.lags, asof_strategy=args.asof_strategy)
+                                    args.lags, asof_strategy=args.asof_strategy,
+                                    hot_keys=hot_keys)
         if lineage is None:
             lineage = {
                 "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},
-                "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions},
+                "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions,
+                           "asof_strategy": args.asof_strategy,
+                           "n_hot_keys": len(hot_keys or [])},
                 "plan": plan.to_dict(),
                 "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),
             }

@@ -114,6 +114,35 @@ def test_rolling_frame_with_hot_keys_rejected(ev, hot_keys):
         )
 
 
+def test_plan_level_hot_lowering_matches_plain(seq_fixtures, hot_keys):
+    """lower(plan, hot_keys=...) (pipeline-level hot/cold split) must agree
+    with the plain lowering on the full as-of → lag → sessionize → rolling
+    chain — the production job's skew path (jobs/featuregen.py)."""
+    from engine.plan import FeatureEngine
+
+    def build():
+        return (
+            FeatureEngine(seq_fixtures["probes"], entity="doc_id", ts="asof_ts")
+            .asof(seq_fixtures["seq_events"], values=["fvalue", "fcat"], suffix="_last")
+            .lag(["fvalue_last"], lags=[1, 2])
+            .sessionize("1 hour")
+            .rolling({"fvalue_last": ["count", "sum"]}, "1 day", method="prefix")
+        )
+
+    plain = build().to_df().toPandas()
+    hot = build().to_df(hot_keys=hot_keys, bucket="2 days").toPandas()
+    key = ["doc_id", "asof_ts"]
+    a, b = _sorted(plain, key), _sorted(hot, key)
+    assert list(a.columns) == list(b.columns)
+    for c in [
+        "fvalue_last", "fvalue_last_lag1", "fvalue_last_lag2",
+        "fvalue_last_count_1day", "fvalue_last_sum_1day",
+    ]:
+        assert np.allclose(a[c].astype(float), b[c].astype(float), equal_nan=True), c
+    assert (a["session_id"].astype("int64").values
+            == b["session_id"].astype("int64").values).all()
+
+
 def test_asof_hybrid_precomputed_hot_keys(seq_fixtures, hot_keys):
     from engine.asof import asof_join
 
