@@ -653,6 +653,18 @@ SELECT doc_id, source, 'a_only' AS side FROM (SELECT * FROM a EXCEPT ALL SELECT 
 UNION ALL
 SELECT doc_id, source, 'both' AS side FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
 """,
+        "global_topn": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+        "grouping_sets": """
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars_sum
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), ())
+""",
     }
 
 
@@ -715,6 +727,30 @@ def q_snapshot_diff(spark, sf_dir):
     removed = snap_a.exceptAll(snap_b).withColumn("side", F.lit("a_only"))
     common = snap_a.intersect(snap_b).withColumn("side", F.lit("both"))
     return removed.unionByName(common)
+
+
+def q_global_topn(spark, sf_dir):
+    """O2 global sort + limit: Catalyst compiles orderBy().limit() to
+    TakeOrderedAndProject — per-partition top-N then a single merge, never a
+    full global sort. Deterministic tiebreak on the key."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_grouping_sets(spark, sf_dir):
+    """G4 multi-granularity metrics via GROUPING SETS — (source×lang),
+    (source), and grand total in ONE pass (Expand + single aggregate)."""
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("afg_docs")
+    return spark.sql("""
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS chars_sum
+        FROM afg_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """)
 
 
 def q_approx_distinct(spark, sf_dir):
@@ -789,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "snapshot_diff": q_snapshot_diff,
         "approx_distinct": q_approx_distinct,
+        "global_topn": q_global_topn,
+        "grouping_sets": q_grouping_sets,
     }
 
 
