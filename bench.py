@@ -3,7 +3,7 @@
 Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] (default 32), plus the flagship as-of + feature-gen
 pipeline over a synthetic tokenized corpus ($AFG_BENCH_DOCS docs, default
-125k → 1M seq_events + 250k probes), which yields the north-star
+500k → 4M seq_events + 1M probes), which yields the north-star
 sequences/sec figure.
 
 Materialization uses the noop sink (full execution, no driver collect).
@@ -29,7 +29,7 @@ from pyspark.sql import SparkSession, functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("AFG_BENCH_DOCS", "125000"))
+BENCH_DOCS = int(os.environ.get("AFG_BENCH_DOCS", "500000"))
 EVENTS_PER_DOC = 8
 
 

@@ -75,7 +75,7 @@ class ParquetJournalTableIO:
         os.rename(tmp, self._journal_path(pid))
 
     # -- data -------------------------------------------------------------
-    def write_partitions(self, df: DataFrame) -> None:
+    def write_partitions(self, df: DataFrame, pids=None, lineage=None) -> None:
         """Write output for a batch of pids, directory-per-pid layout.
 
         DYNAMIC partition overwrite, not append: if a previous attempt died
@@ -119,11 +119,26 @@ class ParquetJournalTableIO:
 class IcebergTableIO:
     """Iceberg-backed implementation (requires iceberg-spark-runtime on the
     classpath and a configured catalog; not available in this sandbox —
-    SURVEY.md §0.1). API-identical to ParquetJournalTableIO above."""
+    SURVEY.md §0.1, so exercised only through the shared facade tests of
+    ParquetJournalTableIO). API-identical to ParquetJournalTableIO above.
+
+    Mapping of the journal model onto Iceberg:
+    - the data write is ONE atomic snapshot per chunk; the pid set and the
+      lineage ride on that snapshot as summary properties
+      (``snapshot-property.afg.*``) — Iceberg's equivalent of the
+      atomically-renamed JSON record;
+    - ``overwritePartitions`` (dynamic) keeps retries idempotent exactly
+      like the Parquet impl: orphan files from a failed attempt are replaced,
+      never appended to;
+    - per-pid throughput metrics append to a ``<table>_journal`` Iceberg
+      table (their own atomic commit, after the data commit — resume truth
+      is the DATA snapshot's pid set, metrics are observability).
+    """
 
     def __init__(self, spark: SparkSession, table: str):
         self.spark = spark
         self.table = table
+        self.journal_table = f"{table}_journal"
 
     def committed_partitions(self) -> set[int]:
         rows = self.spark.sql(
@@ -131,26 +146,55 @@ class IcebergTableIO:
         ).collect()
         out: set[int] = set()
         for r in rows:
-            pid = r["summary"].get("afg.partition_id")
-            if pid is not None:
-                out.add(int(pid))
+            pids = r["summary"].get("afg.partition_ids")
+            if pids:
+                out.update(int(p) for p in pids.split(","))
         return out
 
-    def commit_partition(self, pid: int, lineage: dict, metrics: dict) -> None:
-        # lineage/metrics ride on the snapshot via write properties; the
-        # append in write_partitions and this marker are one commit in the
-        # real implementation (writeTo(...).option("snapshot-property....")).
-        raise NotImplementedError("requires Iceberg runtime; see class docstring")
+    def write_partitions(self, df: DataFrame, pids=None, lineage=None) -> None:
+        w = df.writeTo(self.table)
+        if pids is not None:
+            w = w.option(
+                "snapshot-property.afg.partition_ids", ",".join(map(str, pids))
+            )
+        if lineage is not None:
+            w = w.option("snapshot-property.afg.lineage", json.dumps(lineage))
+        w.overwritePartitions()
 
-    def write_partitions(self, df: DataFrame) -> None:
-        df.writeTo(self.table).overwritePartitions()
+    def commit_partition(self, pid: int, lineage: dict, metrics: dict) -> None:
+        rec = self.spark.createDataFrame(
+            [(pid, json.dumps(lineage), json.dumps(metrics))],
+            "partition_id int, lineage string, metrics string",
+        )
+        rec.writeTo(self.journal_table).append()
 
     def count_rows(self, pids: list[int]) -> dict[int, int]:
-        # real impl: added-records from the snapshot summary of each commit
-        raise NotImplementedError("requires Iceberg runtime; see class docstring")
+        rows = (
+            self.spark.read.table(self.table)
+            .where(F.col(PID_COL).isin(pids))
+            .groupBy(PID_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = {r[PID_COL]: r["n"] for r in rows}
+        return {p: got.get(p, 0) for p in pids}
+
+    def read_journal(self) -> list[dict]:
+        rows = self.spark.read.table(self.journal_table).collect()
+        return [
+            {
+                "partition_id": r["partition_id"],
+                "lineage": json.loads(r["lineage"]),
+                "metrics": json.loads(r["metrics"]),
+            }
+            for r in rows
+        ]
 
     def read_all(self, spark, committed_only: bool = True) -> DataFrame:
-        return spark.read.table(self.table)
+        df = spark.read.table(self.table)
+        if committed_only:
+            df = df.where(F.col(PID_COL).isin(sorted(self.committed_partitions())))
+        return df
 
 
 class CheckpointManager:
@@ -170,7 +214,7 @@ class CheckpointManager:
         One evaluation of the chunk DAG (the write); per-pid row counts come
         from the written parquet footers, not a second count job."""
         t0 = time.time()
-        self.io.write_partitions(df_for_pids)
+        self.io.write_partitions(df_for_pids, pids=pids, lineage=lineage)
         wall = time.time() - t0
         counts = self.io.count_rows(pids)
         total = sum(counts.values()) or 1
