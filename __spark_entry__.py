@@ -387,11 +387,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_near_dup_jaccard(spark, sf_dir):
-    from engine.corpus.dedup import lsh_candidate_pairs, ngram_jaccard_pairs
+    from engine.corpus.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = lsh_candidate_pairs(d)
-    return ngram_jaccard_pairs(d, pairs, threshold=0.8)
+    # shingling is the dominant per-row cost — one persisted pass feeds both
+    # the MinHash signatures and the Jaccard verification
+    sh = shingle_table(d)
+    pairs = lsh_candidate_pairs(d, shingle_df=sh)
+    return ngram_jaccard_pairs(d, pairs, threshold=0.8, shingle_df=sh)
 
 
 def q_simhash_pairs(spark, sf_dir):

@@ -56,9 +56,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    out: str = "_sh",
+) -> DataFrame:
+    """(id, shingle-array) projection, persisted: shingling is the shared
+    per-row cost of the whole near-dup pipeline (MinHash signatures AND the
+    Jaccard verify read it), so compute it once per corpus pass."""
+    return df.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias(out)
+    ).persist()
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", k: int = MINHASH_K, n: int = 3,
-    out: str = "minhash",
+    out: str = "minhash", shingle_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature (k hash functions) over word n-gram shingles.
     Hash family i = md5(i || '|' || shingle); the per-function min is taken
@@ -67,16 +79,22 @@ def minhash_signature(
 
     The shingle array is materialized as its own projection first so the k
     hash expressions share ONE evaluation per row (inlining it k times
-    blows up codegen and recomputes the shingling k-fold)."""
-    shc = f"__{out}_shingles"
-    staged = df.withColumn(shc, shingles(F.col(text_col), n))
+    blows up codegen and recomputes the shingling k-fold). Pass
+    ``shingle_col`` when ``df`` already carries shingles (shingle_table)."""
+    if shingle_col is not None:
+        shc = shingle_col
+        staged = df
+    else:
+        shc = f"__{out}_shingles"
+        staged = df.withColumn(shc, shingles(F.col(text_col), n))
     sig = F.array(*[
         F.array_min(
             F.transform(F.col(shc), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
         )
         for i in range(k)
     ])
-    return staged.withColumn(out, sig).drop(shc)
+    staged = staged.withColumn(out, sig)
+    return staged if shingle_col is not None else staged.drop(shc)
 
 
 def lsh_bands(
@@ -104,6 +122,7 @@ def lsh_bands(
 def lsh_candidate_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, max_bucket: int | None = 1000,
+    shingle_df: DataFrame | None = None, shingle_col: str = "_sh",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → bands → self-join on
     (band_id, band_key) → distinct (id_a < id_b) pairs.
@@ -117,7 +136,12 @@ def lsh_candidate_pairs(
     three consumers (bucket-size filter, left side, right side), and at
     ~80 B/row × bands-per-doc it is far cheaper to keep than to re-run the
     shingle→minhash scan three times."""
-    sigs = minhash_signature(df, text_col, out="minhash").select(id_col, "minhash")
+    if shingle_df is not None:
+        sigs = minhash_signature(
+            shingle_df, text_col, out="minhash", shingle_col=shingle_col
+        ).select(id_col, "minhash")
+    else:
+        sigs = minhash_signature(df, text_col, out="minhash").select(id_col, "minhash")
     b = lsh_bands(sigs, id_col=id_col).persist()
     if max_bucket is not None:
         sizes = b.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_n"))
@@ -147,11 +171,17 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", n: int = 3, threshold: float | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard. Joins each side's
     shingle set onto the (small) candidate-pair table — the shingle arrays
-    travel through two hash joins keyed on doc id, never a cross join."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh")).persist()
+    travel through two hash joins keyed on doc id, never a cross join.
+    ``shingle_df``: reuse a persisted shingle_table instead of re-shingling."""
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh")).persist()
+    )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
