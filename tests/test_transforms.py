@@ -113,3 +113,26 @@ def test_grouped_zscore_and_grouped_map(spark, seq_fixtures):
     )
     got = gm.groupBy("fcat").agg(F.avg("fvalue_dm").alias("m")).toPandas()
     assert np.allclose(got["m"].astype(float), 0.0, atol=1e-9)
+
+
+def test_grouped_agg_udaf(spark, seq_fixtures):
+    """G6: custom vectorized aggregate (trimmed mean) in groupBy().agg()."""
+    from engine.transforms.table import make_grouped_agg_udaf
+
+    ev = seq_fixtures["seq_events"]
+
+    def trimmed_mean(s: pd.Series) -> float:
+        s = s.dropna().sort_values()
+        k = max(1, int(len(s) * 0.1))
+        inner = s.iloc[k:-k] if len(s) > 2 * k else s
+        return float(inner.mean()) if len(inner) else float("nan")
+
+    udaf = make_grouped_agg_udaf(trimmed_mean)
+    got = (
+        ev.groupBy("fcat").agg(udaf("fvalue").alias("tm"))
+        .toPandas().set_index("fcat")["tm"]
+    )
+    p = ev.toPandas()
+    for fcat, grp in p.groupby("fcat"):
+        want = trimmed_mean(grp["fvalue"])
+        assert np.isclose(got[fcat], want, equal_nan=True), fcat
