@@ -53,20 +53,41 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
+    local_prefilter: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast(queries) × corpus → score →
-    row_number ≤ k (ties broken by corpus id for determinism).
+    partition-local top-k prefilter → global row_number ≤ k (ties broken by
+    corpus id for determinism).
 
-    The corpus side streams through one pass with no shuffle of the
-    vectors; the only shuffle is the final per-query window over
-    |queries|·k candidate rows... actually over queries×corpus scored rows
-    — for large corpora prefer ``lsh_topk``."""
+    The corpus side streams through one pass with no shuffle of the vectors.
+    Without the prefilter, the final per-query window shuffles ALL
+    queries×corpus scored rows into |queries| partitions — a skew and
+    volume disaster at corpus scale. With it, each input partition emits at
+    most ~k rows per query (Arrow-vectorized ``nlargest(keep='all')`` — ties
+    at the k-th score are kept, so the global tiebreak stays exact), and the
+    shuffle carries |queries|·k·partitions rows instead of |queries|·|corpus|."""
     q = broadcast(queries.select(F.col(q_id_col), F.col(vec_col).alias("_qvec")))
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .join(q)
         .withColumn("score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
+        .select(q_id_col, id_col, "score")  # prune vectors before any exchange
     )
+    if local_prefilter:
+        import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+        schema = scored.schema
+
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.groupby(q_id_col, group_keys=False, sort=False)
+                        .apply(lambda g: g.nlargest(k, "score", keep="all"))
+                    )
+
+        scored = scored.mapInPandas(local_topk, schema=schema)
+
     from pyspark.sql import Window
 
     w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
