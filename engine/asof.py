@@ -277,7 +277,9 @@ def _asof_bucketed(
     if persist_intermediate:
         from pyspark import StorageLevel
 
-        unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
+        from engine.cache import tracked_persist
+
+        unioned = tracked_persist(unioned, StorageLevel.MEMORY_AND_DISK)
 
     tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
     w_in = (

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from engine.cache import tracked_persist
 from engine.corpus.text import shingles, words
 
 MINHASH_K = 16
@@ -62,10 +63,11 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle-array) projection, persisted: shingling is the shared
     per-row cost of the whole near-dup pipeline (MinHash signatures AND the
-    Jaccard verify read it), so compute it once per corpus pass."""
-    return df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias(out)
-    ).persist()
+    Jaccard verify read it), so compute it once per corpus pass. Tracked:
+    ``engine.cache.release_all()`` drops it after the pipeline's sink."""
+    return tracked_persist(
+        df.select(F.col(id_col), shingles(F.col(text_col), n).alias(out))
+    )
 
 
 def minhash_signature(
@@ -142,7 +144,7 @@ def lsh_candidate_pairs(
         ).select(id_col, "minhash")
     else:
         sigs = minhash_signature(df, text_col, out="minhash").select(id_col, "minhash")
-    b = lsh_bands(sigs, id_col=id_col).persist()
+    b = tracked_persist(lsh_bands(sigs, id_col=id_col))
     if max_bucket is not None:
         sizes = b.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("_n"))
         b = b.join(sizes.where(F.col("_n") <= max_bucket), ["band_id", "band_key"]).drop("_n")
@@ -180,7 +182,9 @@ def ngram_jaccard_pairs(
     sh = (
         shingle_df
         if shingle_df is not None
-        else df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh")).persist()
+        else tracked_persist(
+            df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+        )
     )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
@@ -239,8 +243,8 @@ def simhash_near_pairs(
         df.select(id_col, sim_col)
         .select(F.col(id_col), F.col(sim_col), F.explode(block_rows).alias("b"))
         .select(id_col, sim_col, "b.block_id", "b.block_val")
-        .persist()  # feeds both sides of the self-join; simhash scan runs once
     )
+    b = tracked_persist(b)  # feeds both sides of the self-join; simhash scan runs once
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(

@@ -262,7 +262,9 @@ def lower(
             raise ValueError(f"unknown plan op: {step.op!r}")
         hot = _lower_hot_step(hot, plan, step, hot_tables, bucket_us)
         if persist_hot and step.op in _PER_ENTITY_OPS:
-            hot = hot.persist()
+            from engine.cache import tracked_persist
+
+            hot = tracked_persist(hot)
     return cold.unionByName(hot.select(*cold.columns))
 
 

@@ -273,7 +273,9 @@ def rolling_aggregates(
         d = d.withColumn(cut, F.timestamp_micros(epoch_micros(ts) - F.lit(win_us + 1)))
         # This path runs on hot keys only (bounded input); the cutoff as-of
         # reads d twice (probe + state side), so cache the cummed frame.
-        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+        from engine.cache import tracked_persist
+
+        d = tracked_persist(d, StorageLevel.MEMORY_AND_DISK)
         # State rows at tied timestamps carry identical range-frame cums, so
         # the as-of's arbitrary pick among ties cannot change the result.
         state = d.select(*ents, F.col(ts).alias(state_ts), *partials)

@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F
 
+from engine import cache
 from engine.checkpoint import PID_COL, CheckpointManager, ParquetJournalTableIO, with_partition_id
 from engine.io import read_table
 from engine.plan import FeatureEngine
@@ -142,6 +143,10 @@ def main(argv=None):
                 "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),
             }
         stats = mgr.run_chunk(chunk, feat, lineage)
+        # drop the hot-branch / as-of intermediates this chunk persisted —
+        # without this the chunked loop pins new cache blocks per chunk for
+        # the life of the application
+        cache.release_all()
         total_rows += stats["rows"]
         chunks_done += 1
         print(f"chunk {chunks_done}: pids={chunk} rows={stats['rows']} "
