@@ -127,12 +127,25 @@ def test_simhash_near_dups_have_high_jaccard(docs, docs_pdf):
 
     pairs = simhash_near_pairs(sh, max_hamming=8).toPandas()
     assert len(pairs) > 0
-    # recall direction: every true near-dup pair (jaccard ≥ 0.9) must sit at
-    # small Hamming distance and therefore be surfaced. (The converse does
-    # not hold on this fixture: the synthetic ~30-word vocabulary makes
-    # unrelated docs share word distributions, which is exactly what
-    # simhash hashes — precision filtering is the ngram_jaccard verify
-    # step's job, not simhash's.)
+    # recall direction, EXACT (round-1 verdict fix): the blocking must
+    # surface every pair within the Hamming radius — zero missed. Computed
+    # against the all-pairs signature distances in pandas.
+    sigs = sh.select("doc_id", "simhash").toPandas().set_index("doc_id")["simhash"]
+    ids = sorted(sigs.index)
+    truth = {
+        (a, b): ((int(sigs[a]) ^ int(sigs[b])) & ((1 << 64) - 1)).bit_count()
+        for a, b in itertools.combinations(ids, 2)
+    }
+    expect = {p for p, d in truth.items() if d <= 8}
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == expect, (
+        f"missed={sorted(expect - got)[:5]} spurious={sorted(got - expect)[:5]}"
+    )
+    # the surfaced hamming values are the true distances
+    for _, r in pairs.iterrows():
+        assert r["hamming"] == truth[(min(r.id_a, r.id_b), max(r.id_a, r.id_b))]
+    # soft direction retained: true near-dups (jaccard ≥ 0.9) sit within the
+    # radius on this fixture, so exact blocking recall implies they surface
     texts = docs_pdf.set_index("doc_id")["text"]
     shingle_sets = {i: _py_shingles(t) for i, t in texts.items()}
     high = {
@@ -141,9 +154,19 @@ def test_simhash_near_dups_have_high_jaccard(docs, docs_pdf):
         if _py_jaccard(shingle_sets[a], shingle_sets[b]) >= 0.9
     }
     assert high
-    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     missed = high - got
-    assert len(missed) <= max(1, len(high) // 10), f"simhash missed {missed}"
+    assert not missed, f"simhash missed true near-dups: {sorted(missed)[:5]}"
+
+
+def test_simhash_pigeonhole_parameters(docs):
+    """blocks/key_blocks validation + multi-block keys keep exact recall."""
+    sh = simhash(docs.limit(60))
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(sh, max_hamming=4, blocks=4)  # the old broken shape
+    base = simhash_near_pairs(sh, max_hamming=4).toPandas()  # blocks auto = 5
+    multi = simhash_near_pairs(sh, max_hamming=4, key_blocks=2).toPandas()  # C(6,2) keys
+    key = lambda p: {tuple(sorted(t)) for t in zip(p["id_a"], p["id_b"])}
+    assert key(base) == key(multi)
 
 
 # ------------------------------------------------------------- similarity ----
