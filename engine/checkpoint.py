@@ -84,7 +84,25 @@ class ParquetJournalTableIO:
         duplicate those rows. Dynamic overwrite replaces exactly the pid
         directories being (re)written and leaves committed pids untouched,
         making retries idempotent (the journal stays the single source of
-        truth for what is committed)."""
+        truth for what is committed).
+
+        One gap dynamic overwrite cannot cover (round-1 advice): if the
+        retry's recomputation legitimately produces ZERO rows for a pid, the
+        write never touches that pid's directory and a crashed attempt's
+        orphan files would survive — then journaling the pid would turn them
+        into phantom committed rows. Every chunk pid is UNcommitted by
+        construction (run_chunk only gets pending pids), so any existing
+        directory for one is orphan data: delete them up front.
+        (IcebergTableIO has no such gap — a failed attempt never commits a
+        snapshot, so its data files are invisible by design.)"""
+        if pids is not None:
+            import shutil
+
+            committed = self.committed_partitions()
+            for pid in pids:
+                pdir = os.path.join(self.data_dir, f"{PID_COL}={pid}")
+                if pid not in committed and os.path.isdir(pdir):
+                    shutil.rmtree(pdir)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

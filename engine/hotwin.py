@@ -52,13 +52,27 @@ def with_bucket(df: DataFrame, ts: str, bucket_us: int) -> DataFrame:
 
 def hot_predicate(entity: str | Sequence[str], hot_keys: list) -> Column:
     """Null-safe membership predicate for the hot/cold split. ``hot_keys``
-    holds scalar values for a single-column entity, tuples/Rows otherwise."""
+    holds scalar values for a single-column entity, tuples/Rows otherwise.
+
+    Single-column keys compile to ``isin`` (Catalyst In/InSet — O(1) set
+    probe, push-down-able, and safe for the up-to-10k-key lists the asof
+    hybrid auto path produces). The old left-nested eqNullSafe OR chain —
+    kept only for composite keys, which stay small — built a ~10k-deep
+    expression tree that risked analyzer stack overflow (round-1 advice).
+    ``isin`` never matches NULL, so a NULL hot key is handled with an
+    explicit isNull branch to preserve eqNullSafe semantics."""
     ents = _as_list(entity)
+    if len(ents) == 1:
+        vals = [hk[0] if isinstance(hk, (tuple, list)) else hk for hk in hot_keys]
+        nonnull = [v for v in vals if v is not None]
+        pred = F.col(ents[0]).isin(nonnull) if nonnull else F.lit(False)
+        if len(nonnull) < len(vals):  # a NULL key was marked hot
+            pred = pred | F.col(ents[0]).isNull()
+        return pred
     pred = None
     for hk in hot_keys:
-        vals = (hk,) if len(ents) == 1 and not isinstance(hk, (tuple, list)) else tuple(hk)
         conj = None
-        for k, v in zip(ents, vals):
+        for k, v in zip(ents, tuple(hk)):
             c = F.col(k).eqNullSafe(F.lit(v))
             conj = c if conj is None else (conj & c)
         pred = conj if pred is None else (pred | conj)

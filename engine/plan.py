@@ -155,6 +155,21 @@ def _lower_agg_features(df, plan, p, tables):
 _PER_ENTITY_OPS = {"asof", "lag", "ffill", "sessionize", "rolling", "cumulative"}
 
 
+def _is_split_barrier(plan: "FeaturePlan", step: Step) -> bool:
+    """True for steps that must see the WHOLE frame, not a hot/cold branch.
+
+    An aggregate keyed on anything other than the entity mixes rows from
+    both branches into one group — lowering it per-branch and unioning
+    would emit two partial rows per group (round-1 advice, medium). Every
+    per-entity op is branch-safe because the split itself is by entity;
+    per-row ops (row_features) are trivially safe."""
+    if step.op != "agg_features":
+        return False
+    key = step.params.get("key", plan.entity)
+    keys = [key] if isinstance(key, str) else list(key)
+    return keys != [plan.entity]
+
+
 def _lower_hot_step(df, plan, step, tables, bucket_us):
     """Time-bucketed lowering for the hot branch (engine.hotwin / bucketed
     as-of). Ops without a bucketed variant (bfill, non-entity steps) fall
@@ -190,12 +205,18 @@ def _lower_hot_step(df, plan, step, tables, bucket_us):
             df, plan.entity, plan.ts, gap_us, bucket_us=bucket_us
         )
     if step.op == "rolling":
-        # hot branch always uses the O(n) prefix method (frame would be
-        # O(rows x frame) serial); column names and semantics match
-        return rolling_aggregates(
-            df, plan.entity, plan.ts, p["aggs"], window=p["window"],
-            method="prefix", _bucket_us=bucket_us,
-        )
+        # hot branch prefers the O(n) prefix method (frame would be
+        # O(rows x frame) serial); min/max do not decompose into prefix
+        # sums, so such plans — valid under the default method='frame' —
+        # fall back to the plain frame lowering on the hot branch (correct,
+        # one serial hot task) instead of raising (round-1 advice fix).
+        _DECOMP = {"count", "sum", "avg", "mean", "stddev"}
+        if all(n in _DECOMP for ns in p["aggs"].values() for n in ns):
+            return rolling_aggregates(
+                df, plan.entity, plan.ts, p["aggs"], window=p["window"],
+                method="prefix", _bucket_us=bucket_us,
+            )
+        return _LOWERERS["rolling"](df, plan, p, tables)
     if step.op == "cumulative":
         try:
             return hotwin.bucketed_cumulative_stats(
@@ -237,6 +258,25 @@ def lower(
             except KeyError:
                 raise ValueError(f"unknown plan op: {step.op!r}") from None
             df = fn(df, plan, step.params, tables)
+        return df
+
+    # Split-lower only the prefix of branch-safe steps; re-merge the
+    # branches before the first step that needs the whole frame (a
+    # non-entity-keyed aggregate), then lower the remainder plainly.
+    barrier = next(
+        (i for i, s in enumerate(plan.steps) if _is_split_barrier(plan, s)), None
+    )
+    if barrier is not None:
+        head = FeaturePlan(plan.entity, plan.ts, plan.steps[:barrier])
+        merged = lower(
+            probes, head, tables, hot_keys=hot_keys, bucket=bucket,
+            persist_hot=persist_hot,
+        )
+        df = merged
+        for step in plan.steps[barrier:]:
+            if step.op not in _LOWERERS:
+                raise ValueError(f"unknown plan op: {step.op!r}")
+            df = _LOWERERS[step.op](df, plan, step.params, tables)
         return df
 
     from pyspark.sql import functions as F
@@ -302,6 +342,11 @@ class FeatureEngine:
 
     def cumulative(self, aggs) -> "FeatureEngine":
         return self._step("cumulative", aggs=aggs)
+
+    def agg_features(self, aggs, key=None) -> "FeatureEngine":
+        """Aggregate step; ``key`` defaults to the entity. A non-entity key
+        is a split barrier under hot_keys lowering (see _is_split_barrier)."""
+        return self._step("agg_features", aggs=aggs, **({"key": key} if key else {}))
 
     def row_features(self, specs) -> "FeatureEngine":
         return self._step("row_features", specs=[list(s) for s in specs])

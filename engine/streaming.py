@@ -111,9 +111,16 @@ def stateful_ffill(
         for pdf in pdfs:
             pdf = pdf.sort_values(ts).reset_index(drop=True)
             for c in cols:
-                # vectorized carry-forward seeded with the cross-batch state
+                # vectorized carry-forward seeded with the cross-batch state.
+                # The working column is coerced to float64 first: seeding an
+                # int-dtyped batch column (a long column with no nulls in
+                # this micro-batch) with a None/NaN state would otherwise
+                # raise while constructing the int-dtyped seed Series and
+                # crash the streaming query (round-1 advice fix). The state
+                # struct is double-typed, so float64 is the native carrier.
                 seeded = pd.concat(
-                    [pd.Series([last[c]], dtype=pdf[c].dtype), pdf[c]],
+                    [pd.Series([last[c]], dtype="float64"),
+                     pdf[c].astype("float64")],
                     ignore_index=True,
                 )
                 filled = seeded.ffill().iloc[1:].reset_index(drop=True)

@@ -160,3 +160,28 @@ def test_asof_hybrid_precomputed_hot_keys(seq_fixtures, hot_keys):
         a["fvalue"].astype(float), b["fvalue"].astype(float), equal_nan=True
     )
     assert (a["fcat"].fillna("∅") == b["fcat"].fillna("∅")).all()
+
+
+def test_hot_predicate_compiles_to_isin_and_handles_nulls(spark):
+    """Single-column hot keys must compile to In/InSet (not a key-deep OR
+    chain — round-1 advice) and preserve eqNullSafe semantics for NULL keys."""
+    from engine.hotwin import hot_predicate
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c"), (3, "d")], "k long, v string"
+    )
+    # 10k keys: must analyze instantly (InSet), not build a 10k-deep OR tree
+    big = hot_predicate("k", list(range(10_000)))
+    assert df.where(big).count() == 3
+    assert str(big).startswith("Column<'in(k, ")  # single In expr, no OR tree
+
+    with_null = hot_predicate("k", [1, None])
+    got = {r["v"] for r in df.where(with_null).collect()}
+    assert got == {"a", "c"}
+
+    cold = df.where(~F.coalesce(hot_predicate("k", [1, None]), F.lit(False)))
+    assert {r["v"] for r in cold.collect()} == {"b", "d"}
+
+    # composite keys keep the conjunction path
+    comp = hot_predicate(["k", "v"], [(1, "a"), (3, "d")])
+    assert df.where(comp).count() == 2

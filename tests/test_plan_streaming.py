@@ -142,3 +142,81 @@ def test_stateful_ffill_stream_matches_batch(spark, sf_dir, tmp_path):
     pd.testing.assert_series_equal(
         a["v_f"], b["v_f"], check_names=False, check_exact=True
     )
+
+
+def _sorted_pdf(df):
+    pdf = df.toPandas()
+    return pdf.sort_values(sorted(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_hot_split_merges_before_non_entity_agg(spark, sf_dir):
+    """A non-entity-keyed aggregate step under hot_keys lowering must see the
+    MERGED frame — per-branch aggregation would emit two partial rows per
+    group (round-1 advice, medium)."""
+    probes, state = _probe_state(spark, sf_dir)
+
+    def build(hot):
+        return (
+            FeatureEngine(probes, entity="user_id", ts="ts")
+            .asof(state, values=["value", "etype"], suffix="_last")
+            .lag(["value_last"], lags=[1])
+            .agg_features({"value_last": ["count", "min", "max"]}, key="etype_last")
+            .to_df(hot_keys=hot, bucket="6 hours")
+        )
+
+    plain = _sorted_pdf(build(None))
+    split = _sorted_pdf(build([0, 1, 2]))
+    pd.testing.assert_frame_equal(plain, split)
+
+
+def test_hot_split_rolling_minmax_falls_back_to_frame(spark, sf_dir):
+    """A rolling step with non-decomposable aggs (min/max) is valid under the
+    default method='frame'; with hot_keys it must fall back to the plain
+    frame lowering on the hot branch, not raise (round-1 advice, medium)."""
+    probes, state = _probe_state(spark, sf_dir)
+
+    def build(hot):
+        return (
+            FeatureEngine(probes, entity="user_id", ts="ts")
+            .asof(state, values=["value"], suffix="_last")
+            .rolling({"value_last": ["min", "max"]}, "1 hour")
+            .to_df(hot_keys=hot, bucket="6 hours")
+        )
+
+    plain = _sorted_pdf(build(None))
+    split = _sorted_pdf(build([0, 1, 2]))
+    pd.testing.assert_frame_equal(plain, split)
+
+
+def test_stateful_ffill_integer_batch_with_null_state(spark, tmp_path):
+    """A long-typed column with no nulls in the first micro-batch used to
+    crash the seeding (int Series cannot hold the None state) — round-1
+    advice fix: the carry column is coerced to float64."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampNTZType,
+    )
+
+    src = str(tmp_path / "intffill_src")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).withColumn("ts", F.timestamp_micros(F.col("v") * 1_000_000))
+    b1 = base.select("k", "ts", "v")
+    b2 = spark.createDataFrame([(1, 30, None), (2, 40, 7)], "k long, sec long, v long") \
+        .withColumn("ts", F.timestamp_micros(F.col("sec") * 1_000_000)).select("k", "ts", "v")
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f=1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f=2"))
+
+    schema = StructType([
+        StructField("k", LongType()), StructField("ts", TimestampNTZType()),
+        StructField("v", LongType()),
+    ])
+    out_schema = StructType(schema.fields + [StructField("v_f", DoubleType())])
+    stream = file_stream(spark, src + "/f=*", schema)
+    got = run_available_now(
+        stateful_ffill(stream, "k", "ts", ["v"], out_schema), "intffill_test"
+    ).toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    # k=1's null in batch 2 is filled from batch 1's state (10.0)
+    k1 = got[got.k == 1].sort_values("ts")["v_f"].tolist()
+    assert k1 == [10.0, 10.0]
+    k2 = got[got.k == 2].sort_values("ts")["v_f"].tolist()
+    assert k2 == [20.0, 7.0]

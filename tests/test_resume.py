@@ -92,3 +92,35 @@ def test_resume_replaces_orphan_files(spark, tmp_path):
     a = _read_output(spark, clean)
     b = _read_output(spark, faulty)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_zero_row_retry_deletes_orphans(spark, tmp_path):
+    """If a crashed attempt left orphan parquet in a pid directory and the
+    retry's recomputation produces ZERO rows for that pid, dynamic overwrite
+    alone never touches the directory — the orphans would become phantom
+    committed rows once the pid is journaled. write_partitions must delete
+    uncommitted chunk-pid directories up front (round-1 advice fix)."""
+    from pyspark.sql import functions as F
+
+    from engine.checkpoint import (
+        PID_COL, CheckpointManager, ParquetJournalTableIO,
+    )
+
+    io = ParquetJournalTableIO(str(tmp_path / "out"))
+    mgr = CheckpointManager(io, num_partitions=3)
+
+    # simulate the crashed attempt: pid 2 got data files but no journal entry
+    orphan = spark.range(5).withColumn(PID_COL, F.lit(2))
+    orphan.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(PID_COL).parquet(io.data_dir)
+    assert io.count_rows([2])[2] == 5
+
+    # the retry recomputes the chunk; this time pid 2 legitimately has 0 rows
+    df = spark.range(10).withColumn(PID_COL, (F.col("id") % 2).cast("int"))
+    mgr.run_chunk([0, 1, 2], df, lineage={"inputs": {}, "params": {}})
+
+    assert io.committed_partitions() == {0, 1, 2}
+    assert io.count_rows([2])[2] == 0, "phantom orphan rows survived the retry"
+    out = io.read_all(spark, committed_only=True)
+    assert out.count() == 10
