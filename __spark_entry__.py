@@ -417,6 +417,17 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(e, threshold=0.3, exact=True)
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """The SCALE path of embedding near-dup: candidate pairs blocked by
+    random-hyperplane LSH bucket (each task bucket-bounded), exact cosine
+    verify within buckets — oracle reproduces the md5-derived hyperplanes
+    in SQL, so the bucket assignment itself is driver-checked."""
+    from engine.corpus.similarity import embedding_near_dup_pairs
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.3, exact=False)
+
+
 def _emb_queries(e):
     return e.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
 
@@ -433,6 +444,16 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, _emb_queries(e), k=5)
+
+
+def q_ann_lsh_multitable(spark, sf_dir):
+    """Multi-table LSH ANN (the recall lever): candidates = union of bucket
+    matches across 2 independent hyperplane tables, deduped before the exact
+    cosine re-score. Oracle reproduces both tables' buckets in SQL."""
+    from engine.corpus.similarity import lsh_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, _emb_queries(e), k=5, tables=2)
 
 
 def q_lang_id(spark, sf_dir):
@@ -527,12 +548,12 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _bucket_sql(v: str) -> str:
+def _bucket_sql(v: str, table: int = 0) -> str:
     from engine.corpus.similarity import _hyperplane
 
     terms = []
     for i in range(8):
-        plane = "[" + ", ".join(repr(x) for x in _hyperplane(i, 64)) + "]::DOUBLE[]"
+        plane = "[" + ", ".join(repr(x) for x in _hyperplane(table * 8 + i, 64)) + "]::DOUBLE[]"
         terms.append(f"(CASE WHEN list_dot_product({v}, {plane}) > 0 THEN {1 << i} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
 
@@ -579,6 +600,15 @@ SELECT id_a, id_b, cos FROM (
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id) t
 WHERE cos >= 0.3
 """,
+        "embedding_near_dup_lsh": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM emb)
+SELECT id_a, id_b, cos FROM (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         round({_cos_sql('l.v', 'r.v')}, 6) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id) t
+WHERE cos >= 0.3
+""",
         "ann_topk": f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 10),
@@ -598,6 +628,24 @@ s AS (SELECT q_id, cb.vec_id, round({_cos_sql('cb.v', 'qb.qv')}, 6) AS score, cb
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
       FROM s)
 SELECT q_id, vec_id, score, "rank", bucket FROM r WHERE "rank" <= 5
+""",
+        "ann_lsh_multitable": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb AS (SELECT vec_id, v, {_bucket_sql('v', 0)} AS b0, {_bucket_sql('v', 1)} AS b1 FROM emb),
+qb AS (SELECT vec_id AS q_id, v AS qv, b0, b1 FROM cb WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q_id, c.vec_id
+  FROM cb c JOIN qb q ON c.b0 = q.b0
+  UNION
+  SELECT DISTINCT q_id, c.vec_id
+  FROM cb c JOIN qb q ON c.b1 = q.b1),
+s AS (SELECT cand.q_id, cand.vec_id,
+             round({_cos_sql('c.v', 'q.qv')}, 6) AS score
+      FROM cand JOIN cb c ON c.vec_id = cand.vec_id
+                JOIN qb q ON q.q_id = cand.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT q_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
 """,
         "lang_id": f"""
 WITH scored AS (SELECT doc_id, lang,
@@ -760,6 +808,98 @@ def q_grouping_sets(spark, sf_dir):
     """)
 
 
+def q_hotwin_family(spark, sf_dir):
+    """W8 oracle coverage: the full per-entity window family (ffill → lag →
+    sessionize → prefix rolling) with a hot-key list routing users 0-4
+    through the time-bucketed skew-proof plans (engine/hotwin.py). Semantics
+    are identical to the plain single-window plans — the oracle is plain
+    window SQL. (This intentionally exercises the public per-op hot_keys=
+    API; production pipelines split once per pipeline via engine.plan.lower.)"""
+    hot = [0, 1, 2, 3, 4]
+    bucket = "6 hours"
+    e = _events_with_nulls(spark, sf_dir)
+    f = forward_fill(e, "user_id", "ts", ["value_n"], out_suffix="_f",
+                     hot_keys=hot, bucket=bucket)
+    f = lag_features(f, "user_id", "ts", ["value_n_f"], lags=[1],
+                     hot_keys=hot, bucket=bucket)
+    f = sessionize(f, "user_id", "ts", gap="30 minutes",
+                   hot_keys=hot, bucket=bucket)
+    f = f.withColumn("vdec", F.col("value_n_f").cast("decimal(18,2)"))
+    r = rolling_aggregates(f, "user_id", "ts", {"vdec": ["count", "sum"]},
+                           window="1 hour", method="prefix",
+                           hot_keys=hot, bucket=bucket)
+    return r.select(
+        "event_id", "user_id", "ts", "value_n", "value_n_f",
+        "value_n_f_lag1", "session_id",
+        F.col("vdec_count_1hour").alias("n_1h"),
+        F.col("vdec_sum_1hour").cast("double").alias("sum_1h"),
+    )
+
+
+def q_grouped_demean(spark, sf_dir):
+    """G5 oracle coverage: Arrow-batched grouped-map (applyInPandas) — per
+    source, demean n_chars. Float discipline: the group mean derives from an
+    exact int64 sum, so the single float division + subtraction are
+    IEEE-identical across engines (no rounding needed)."""
+    import pandas as pd
+
+    from engine.transforms.table import grouped_map
+
+    d = read_table(spark, sf_dir, "documents")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        mu = float(pdf["n_chars"].sum()) / n  # exact int sum → one fp divide
+        out = pdf.copy()
+        out["n_chars_dm"] = pdf["n_chars"].astype("float64") - mu
+        out["n_grp"] = n
+        return out[["doc_id", "source", "n_chars", "n_chars_dm", "n_grp"]]
+
+    return grouped_map(
+        d, "source", demean,
+        schema="doc_id long, source string, n_chars long, n_chars_dm double, n_grp long",
+        prune=["doc_id", "source", "n_chars"],
+    )
+
+
+def q_trimmed_mean_udaf(spark, sf_dir):
+    """G6 oracle coverage: custom vectorized UDAF (pandas_udf grouped agg) —
+    per-source trimmed mean of n_chars (drop the 2 lowest/highest by sorted
+    position; positional trim over the sorted multiset is tie-independent).
+    Exact int64 sums make the single float division cross-engine exact."""
+    import numpy as np
+    import pandas as pd
+
+    from engine.transforms.table import make_grouped_agg_udaf
+
+    k = 2
+
+    # no inline type hints: this module's `from __future__ import annotations`
+    # would stringify them and break pandas_udf's signature inference
+    def trimmed(s):
+        v = np.sort(s.to_numpy(np.int64))
+        if len(v) > 2 * k:
+            v = v[k:-k]
+        return float(v.sum()) / len(v)
+
+    trimmed.__annotations__ = {"s": pd.Series, "return": float}
+
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM aggregates in
+    # one agg(), so the group size is a second (trivial) pandas UDAF
+    def size(s):
+        return len(s)
+
+    size.__annotations__ = {"s": pd.Series, "return": int}
+
+    udaf = make_grouped_agg_udaf(trimmed)
+    n_udaf = make_grouped_agg_udaf(size, "long")
+    d = read_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return d.groupBy("source").agg(
+        udaf(F.col("n_chars")).alias("trimmed_mean"),
+        n_udaf(F.col("n_chars")).alias("n_docs"),
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """G3: HLL++ approximate per-key cardinality next to the exact count
     (rows-only check — sketch estimates are engine-specific by design; the
@@ -812,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_sequences": q_flagship_sequences,
         "session_window_agg": q_session_window_agg,
         "plan_pipeline": q_plan_pipeline,
+        "hotwin_family": q_hotwin_family,
+        "grouped_demean": q_grouped_demean,
+        "trimmed_mean_udaf": q_trimmed_mean_udaf,
         "range_join": q_range_join,
         "cube_events": q_cube_events,
         # corpus ops (§2.10): dedup / similarity / text analysis / multimodal
@@ -820,8 +963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multitable": q_ann_lsh_multitable,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1021,6 +1166,50 @@ SELECT event_id, user_id, ts, value_last, etype_last, value_last_lag1,
        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
 FROM d
+""",
+        "hotwin_family": f"""
+WITH {_NULLS_SQL},
+f AS (
+  SELECT *, last_value(value_n IGNORE NULLS) OVER
+         (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_n_f
+  FROM e),
+l AS (
+  SELECT *, lag(value_n_f, 1) OVER (PARTITION BY user_id ORDER BY ts) AS value_n_f_lag1
+  FROM f),
+d AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM d)
+SELECT event_id, user_id, ts, value_n, value_n_f, value_n_f_lag1, session_id,
+       COUNT(value_n_f) OVER w2 AS n_1h,
+       CAST(SUM(CAST(value_n_f AS DECIMAL(18,2))) OVER w2 AS DOUBLE) AS sum_1h
+FROM s
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "grouped_demean": """
+SELECT doc_id, source, n_chars,
+       CAST(n_chars AS DOUBLE)
+         - CAST(SUM(n_chars) OVER (PARTITION BY source) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY source) AS n_chars_dm,
+       COUNT(*) OVER (PARTITION BY source) AS n_grp
+FROM documents
+""",
+        "trimmed_mean_udaf": """
+WITH r AS (SELECT source, n_chars,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                  COUNT(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+t AS (SELECT source, n_chars, n FROM r WHERE n <= 4 OR (rn > 2 AND rn <= n - 2))
+SELECT source, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS trimmed_mean,
+       MAX(n) AS n_docs
+FROM t GROUP BY source
 """,
         "range_join": """
 WITH d AS (

@@ -113,14 +113,15 @@ def _hyperplane(plane_id: int, dim: int) -> list[float]:
 
 def lsh_signature(
     df: DataFrame, vec_col: str = "embedding", planes: int = 8, dim: int = 64,
-    out: str = "bucket",
+    out: str = "bucket", table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (Charikar 2002): bit i of the bucket
     = sign(v · h_i). Per-row JVM fold per plane; planes are literals baked
-    into the plan (broadcast-free)."""
+    into the plan (broadcast-free). ``table`` offsets the hyperplane ids so
+    independent signature tables (multi-table ANN) share nothing."""
     sig = F.lit(0).cast("long")
     for i in range(planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(i, dim)])
+        plane = F.array(*[F.lit(x) for x in _hyperplane(table * planes + i, dim)])
         bit = (dot(F.col(vec_col), plane) > 0).cast("long")
         sig = sig + F.shiftleft(bit, i)
     return df.withColumn(out, sig)
@@ -129,18 +130,66 @@ def lsh_signature(
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
-    planes: int = 8, dim: int = 64,
+    planes: int = 8, dim: int = 64, tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: bucket both sides with the same hyperplanes, equi-join on
     bucket, exact cosine within bucket, top-k per query. Recall < 1 by
-    construction (candidates limited to the query's bucket); the shuffle is
-    keyed on bucket, so corpus cost is linear + one co-partitioned join."""
-    c = lsh_signature(corpus.select(id_col, vec_col), vec_col, planes, dim)
-    q = lsh_signature(
-        queries.select(q_id_col, F.col(vec_col).alias("_qvec")), "_qvec", planes, dim
+    construction (candidates limited to the query's buckets); the shuffle is
+    keyed on bucket, so corpus cost is linear + one co-partitioned join.
+
+    ``tables`` > 1 is the standard LSH recall lever: L independent
+    hyperplane tables, candidates = union of per-table bucket matches
+    (miss probability decays as (1−p^b)^L). The corpus computes all L
+    signatures in ONE scan, explodes to (table_id, bucket) — L rows/vector
+    — and joins on (table_id, bucket); candidate (query, id) pairs are
+    deduplicated BEFORE scoring so each survivor is scored once, then
+    vectors are re-attached by id-keyed join for the exact cosine."""
+    if tables <= 1:
+        c = lsh_signature(corpus.select(id_col, vec_col), vec_col, planes, dim)
+        q = lsh_signature(
+            queries.select(q_id_col, F.col(vec_col).alias("_qvec")), "_qvec", planes, dim
+        )
+        scored = c.join(broadcast(q), "bucket").withColumn(
+            "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "score", "rank", "bucket")
+        )
+
+    def tabled(df, key, vcol):
+        d = df
+        for t in range(tables):
+            d = lsh_signature(d, vcol, planes, dim, out=f"__b{t}", table=t)
+        pairs = F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("bucket"))
+            for t in range(tables)
+        ])
+        return (
+            d.select(key, F.explode(pairs).alias("tb"))
+            .select(key, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        )
+
+    c_tb = tabled(corpus.select(id_col, vec_col), id_col, vec_col)
+    q_tb = tabled(
+        queries.select(q_id_col, F.col(vec_col).alias("_qvec")), q_id_col, "_qvec"
     )
-    scored = c.join(broadcast(q), "bucket").withColumn(
-        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    cand = (
+        c_tb.join(broadcast(q_tb), ["t", "bucket"])
+        .select(q_id_col, id_col)
+        .distinct()  # score each surviving (query, id) exactly once
+    )
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            broadcast(queries.select(q_id_col, F.col(vec_col).alias("_qvec"))),
+            q_id_col,
+        )
+        .withColumn("score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6))
     )
     from pyspark.sql import Window
 
@@ -148,8 +197,28 @@ def lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(q_id_col, id_col, "score", "rank", "bucket")
+        .select(q_id_col, id_col, "score", "rank")
     )
+
+
+def recall_at_k(
+    brute: DataFrame, approx: DataFrame, q_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> float:
+    """Mean per-query recall of ``approx`` against the exact ``brute`` top-k
+    (both already truncated to their k). Collects only the two top-k tables —
+    |queries|·k rows, bounded — this is a metric, not a data path."""
+    hits = (
+        brute.select(q_id_col, id_col)
+        .join(approx.select(q_id_col, id_col), [q_id_col, id_col], "left_semi")
+        .groupBy(q_id_col).count()
+        .withColumnRenamed("count", "n_hit")
+    )
+    totals = brute.groupBy(q_id_col).count().withColumnRenamed("count", "n_true")
+    rows = totals.join(hits, q_id_col, "left").fillna(0, ["n_hit"]).collect()
+    if not rows:
+        return float("nan")
+    return sum(r["n_hit"] / r["n_true"] for r in rows) / len(rows)
 
 
 def embedding_near_dup_pairs(

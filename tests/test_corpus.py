@@ -283,3 +283,45 @@ def test_frame_sample_indices(spark):
     # one video asset: frame count from its header determines sample count
     grp = fs.groupby("asset_id").agg(n=("frame_idx", "size"), f=("n_frames", "first"))
     assert (grp["n"] == (grp["f"] - 1) // 8 + 1).all()
+
+
+def test_multitable_lsh_improves_recall(emb):
+    """L independent hyperplane tables must (weakly) dominate one table's
+    candidate set, and recall is measured against the exact brute force."""
+    from engine.corpus.similarity import recall_at_k
+
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), "embedding")
+    brute = brute_force_topk(emb, q, k=5).cache()
+    r1 = recall_at_k(brute, lsh_topk(emb, q, k=5))
+    r3 = recall_at_k(brute, lsh_topk(emb, q, k=5, tables=3))
+    assert 0.0 < r1 <= 1.0
+    assert r3 >= r1  # more tables never lose candidates
+    # the multi-table scores are still the exact cosines
+    multi = lsh_topk(emb, q, k=5, tables=3).toPandas()
+    b = brute.toPandas()
+    merged = multi.merge(b, on=["q_id", "vec_id"], suffixes=("_a", "_b"))
+    assert np.allclose(merged["score_a"], merged["score_b"])
+
+
+def test_lsh_topk_planted_near_dup_recall(spark, emb):
+    """LSH ANN's contract is the HIGH-similarity regime: a planted near-dup
+    (cosine ≈ 0.97) must be retrieved for (nearly) every query at planes=8,
+    tables=4. Isotropic-noise neighbors (cosine ~0.4) are not its job —
+    their recall follows the (1-(1-(1-θ/π)^b)^L) curve, measured in
+    BENCH/BASELINE.md."""
+    from pyspark.sql import types as T
+
+    pdf = emb.limit(20).toPandas()
+    rng = np.random.RandomState(7)
+    rows = []
+    for _, r in pdf.iterrows():
+        v = np.array(r["embedding"], dtype=np.float64)
+        noise = rng.normal(0, 0.08 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        rows.append((int(r["vec_id"]), [float(x) for x in v + noise]))
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    q = spark.createDataFrame(rows, schema)
+    got = lsh_topk(emb, q, k=5, planes=8, tables=4).where("q_id = vec_id").count()
+    assert got >= 19, f"planted near-dup retrieved for only {got}/20 queries"
