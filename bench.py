@@ -255,13 +255,18 @@ def run_bench(cores: int) -> dict:
         reps.append(round(time.time() - _t0, 3))
     t_compute = min(reps)
     flagship_reps = reps  # recorded in the payload, not in per-query seconds
-    # The production sink (partition-atomic in jobs/featuregen.py; plain
-    # parquet here). Reported separately from the throughput basis: in this
+    # The production sink (partition-atomic in jobs/featuregen.py; P4
+    # hive-partitioned layout here, so a per-source consumer prunes whole
+    # directories). Reported separately from the throughput basis: in this
     # sandbox it lands on ONE local disk (a constant ~5-8s floor regardless
     # of cores), whereas a multi-executor cluster writes to distributed
     # storage in parallel — including it would measure the sandbox disk,
     # not the engine.
-    t_write = timed(lambda: out.write.mode("overwrite").parquet(feat_dir))
+    from engine.io import write_partitioned
+
+    t_write = timed(
+        lambda: write_partitioned(out, feat_dir, "source", max_records_per_file=4_000_000)
+    )
     t_flag = round(t_compute, 3)
     results["flagship_compute"] = t_compute
     results["flagship_write_io"] = t_write

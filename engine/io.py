@@ -75,6 +75,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """P4: hive-style partitioned Parquet layout (``col=value/`` directories)
+    so downstream scans with a filter on the partition column prune entire
+    directories — the reader's plan shows ``PartitionFilters`` and never
+    opens non-matching files.
+
+    Choose LOW-cardinality columns (source, ts_day): at 10^12 rows a
+    high-cardinality partitionBy explodes into millions of directories and
+    kills the driver's file listing. ``max_records_per_file`` bounds file
+    size inside hot partitions (a Zipf-skewed source holding 50% of rows
+    still writes splittable files)."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*cols).parquet(path)
+
+
 def get_spark(
     app: str = "afg-engine",
     cores: int | str = "*",
