@@ -647,6 +647,65 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id
       FROM s)
 SELECT q_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
 """,
+        "ann_ivf_topk": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id % 40 = 0),
+ca AS (SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent c) t WHERE rn = 1),
+qp AS (SELECT q_id, qv, cid FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10) t WHERE rn <= 3),
+s AS (SELECT qp.q_id, ca.vec_id, round({_cos_sql('ca.v', 'qp.qv')}, 6) AS score
+      FROM ca JOIN qp ON ca.cid = qp.cid),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
+      FROM s)
+SELECT q_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
+""",
+        "tumbling_agg": """
+SELECT user_id,
+       time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS win_end,
+       COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+""",
+        "median_by_group": """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+m AS (SELECT event_type, cents, n FROM r
+      WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+         OR rn = CAST(floor(n / 2.0 + 1) AS BIGINT))
+SELECT event_type, MAX(n) AS n, AVG(cents) / 100.0 AS median_value
+FROM m GROUP BY event_type
+""",
+        "pivot_counts": """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+""",
+        "token_array_ops": """
+WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), w -> CAST(length(w) AS INT)) AS toks
+           FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tok,
+       CAST(list_sum(toks) AS BIGINT) AS tok_sum,
+       array_to_string(toks[1:5], ',') AS first5,
+       len(list_distinct(toks)) AS n_unique,
+       list_max(toks) AS max_tok
+FROM t
+""",
         "lang_id": f"""
 WITH scored AS (SELECT doc_id, lang,
   {lang_scores}
@@ -900,6 +959,91 @@ def q_trimmed_mean_udaf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (the second scale path the brief names next to LSH):
+    deterministic sampled centroids, per-row JVM nearest-centroid
+    assignment, nprobe=3 list search, exact cosine re-rank."""
+    from engine.corpus.similarity import ivf_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, _emb_queries(e), k=5, centroid_stride=40, nprobe=3)
+
+
+def q_tumbling_agg(spark, sf_dir):
+    """§2.8 tumbling windowed aggregate (batch form of the streaming op —
+    same code path runs on readStream). Window bounds come back as
+    TIMESTAMP_NTZ to match the driver tables' type discipline."""
+    from engine.streaming import windowed_agg
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec")
+    )
+    out = windowed_agg(e, "user_id", "ts", {"vdec": ["count", "sum"]}, window="1 hour")
+    return out.select(
+        "user_id",
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+        F.col("vdec_count").alias("n"),
+        F.col("vdec_sum").cast("double").alias("value_sum"),
+    )
+
+
+def q_median_by_group(spark, sf_dir):
+    """Exact (interpolation-free) per-group median: middle element(s) of the
+    value multiset in integer cents — positional, so float quantile
+    interpolation differences between engines cannot appear."""
+    e = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").asc())
+    r = (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    lo = (F.col("n") + 1) / 2
+    hi = F.col("n") / 2 + 1
+    mid = r.where((F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi)))
+    return mid.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.avg("cents") / 100.0).alias("median_value"),
+    )
+
+
+def q_pivot_counts(spark, sf_dir):
+    """G4 pivot: per-user event counts spread across one column per event
+    type (explicit value list — at corpus scale the implicit two-pass pivot
+    is a full extra scan). Absent combinations are 0, not NULL."""
+    e = _events(spark, sf_dir).select("user_id", "event_type")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in types])
+    )
+
+
+def q_token_array_ops(spark, sf_dir):
+    """§2.7 array/token kernels with a hard oracle: deterministic
+    array<int> tokens derived from the text (word lengths), then the JVM
+    array expression family — size/slice/transform/aggregate/distinct/max —
+    all whole-stage-codegen, no Python, no shuffle."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.transform(F.split(F.col("text"), " "), lambda w: F.length(w).cast("int"))
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + x).alias("tok_sum"),
+        F.concat_ws(
+            ",", F.transform(F.slice("toks", 1, 5), lambda x: x.cast("string"))
+        ).alias("first5"),
+        F.size(F.array_distinct("toks")).alias("n_unique"),
+        F.array_max("toks").alias("max_tok"),
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """G3: HLL++ approximate per-key cardinality next to the exact count
     (rows-only check — sketch estimates are engine-specific by design; the
@@ -955,6 +1099,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotwin_family": q_hotwin_family,
         "grouped_demean": q_grouped_demean,
         "trimmed_mean_udaf": q_trimmed_mean_udaf,
+        "tumbling_agg": q_tumbling_agg,
+        "median_by_group": q_median_by_group,
+        "pivot_counts": q_pivot_counts,
+        "token_array_ops": q_token_array_ops,
         "range_join": q_range_join,
         "cube_events": q_cube_events,
         # corpus ops (§2.10): dedup / similarity / text analysis / multimodal
@@ -967,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multitable": q_ann_lsh_multitable,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,

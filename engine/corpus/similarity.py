@@ -221,6 +221,79 @@ def recall_at_k(
     return sum(r["n_hit"] / r["n_true"] for r in rows) / len(rows)
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", q_id_col: str = "q_id", vec_col: str = "embedding",
+    centroid_stride: int = 40, nprobe: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into inverted lists by nearest
+    centroid, search only the query's ``nprobe`` nearest lists.
+
+    Centroid selection is deterministic data sampling — corpus vectors whose
+    id ≡ 0 (mod ``centroid_stride``) — so any engine reproduces the index
+    with no RNG/training state (the production analogue trains k-means once
+    and broadcasts the centroid table the same way). The centroid set is
+    collected to the driver and baked into the plan as literals: it is index
+    METADATA, bounded by construction (corpus/stride entries — pick a stride
+    that keeps it ~√n), exactly like the LSH hyperplanes.
+
+    Corpus-side assignment is a pure per-row JVM expression (C cosines +
+    greatest + first-match CASE, smallest centroid id on ties) — ONE scan,
+    no shuffle, no explode. The probe join then shuffles only on the
+    centroid id, so corpus cost is linear and each task is list-bounded."""
+    cents = sorted(
+        (r[id_col], [float(x) for x in r[vec_col]])
+        for r in corpus.where((F.col(id_col) % centroid_stride) == 0)
+        .select(id_col, vec_col).collect()
+    )
+    if not cents:
+        raise ValueError(f"no centroids: no {id_col} % {centroid_stride} == 0 rows")
+
+    def assign(df, vcol, out):
+        scores = [
+            cosine(F.col(vcol), F.array(*[F.lit(x) for x in vec])) for _, vec in cents
+        ]
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        # first matching WHEN wins → smallest centroid id on score ties
+        expr = F.when(scores[0] == best, F.lit(cents[0][0]))
+        for (cid_val, _), s in list(zip(cents, scores))[1:]:
+            expr = expr.when(s == best, F.lit(cid_val))
+        return df.withColumn(out, expr.cast("long"))
+
+    c = assign(corpus.select(id_col, vec_col), vec_col, "cid")
+
+    # query side: nprobe nearest centroids (small side → explode + window)
+    q = queries.select(q_id_col, F.col(vec_col).alias("_qvec"))
+    probe_rows = F.array(*[
+        F.struct(
+            F.lit(cid_val).alias("cid"),
+            cosine(F.col("_qvec"), F.array(*[F.lit(x) for x in vec])).alias("cscore"),
+        )
+        for cid_val, vec in cents
+    ])
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy(q_id_col).orderBy(
+        F.col("cscore").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.select(q_id_col, "_qvec", F.explode(probe_rows).alias("p"))
+        .select(q_id_col, "_qvec", "p.cid", "p.cscore")
+        .withColumn("_pr", F.row_number().over(wq))
+        .where(F.col("_pr") <= nprobe)
+        .select(q_id_col, "_qvec", "cid")
+    )
+    scored = c.join(broadcast(probes), "cid").withColumn(
+        "score", F.round(cosine(F.col(vec_col), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

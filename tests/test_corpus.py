@@ -325,3 +325,23 @@ def test_lsh_topk_planted_near_dup_recall(spark, emb):
     q = spark.createDataFrame(rows, schema)
     got = lsh_topk(emb, q, k=5, planes=8, tables=4).where("q_id = vec_id").count()
     assert got >= 19, f"planted near-dup retrieved for only {got}/20 queries"
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    """IVF with nprobe covering every inverted list degenerates to exact
+    search — the ANN error is entirely the probe truncation."""
+    from engine.corpus.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    brute = brute_force_topk(emb, q, k=5).toPandas()
+    full = ivf_topk(emb, q, k=5, centroid_stride=40, nprobe=10_000).toPandas()
+    key = ["q_id", "rank"]
+    a = brute.sort_values(key).reset_index(drop=True)
+    b = full.sort_values(key).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["score"], b["score"])
+    # and truncated probing returns a subset of per-list candidates with
+    # exact scores
+    part = ivf_topk(emb, q, k=5, centroid_stride=40, nprobe=2).toPandas()
+    merged = part.merge(brute, on=["q_id", "vec_id"], suffixes=("_a", "_b"))
+    assert np.allclose(merged["score_a"], merged["score_b"])
