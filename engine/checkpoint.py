@@ -39,12 +39,19 @@ def with_partition_id(df: DataFrame, entity: str, num_partitions: int) -> DataFr
 
 
 class ParquetJournalTableIO:
-    """Parquet data + atomic JSON journal; one record per committed partition."""
+    """Parquet data + atomic JSON journal; one record per committed partition.
 
-    def __init__(self, base_dir: str):
+    ``extra_partition_cols`` composes the P4 consumer layout under the pid
+    layout (``__pid=X/source=Y/…``): the pid level keeps commits/retries
+    atomic per chunk, the inner level lets downstream readers prune on
+    business columns. Keep the inner columns low-cardinality — the
+    directory count multiplies."""
+
+    def __init__(self, base_dir: str, extra_partition_cols: list[str] | None = None):
         self.base_dir = base_dir
         self.data_dir = os.path.join(base_dir, "data")
         self.journal_dir = os.path.join(base_dir, "_journal")
+        self.extra_partition_cols = list(extra_partition_cols or [])
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.journal_dir, exist_ok=True)
 
@@ -106,7 +113,7 @@ class ParquetJournalTableIO:
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PID_COL)
+            .partitionBy(PID_COL, *self.extra_partition_cols)
             .parquet(self.data_dir)
         )
 
@@ -120,9 +127,11 @@ class ParquetJournalTableIO:
             pdir = os.path.join(self.data_dir, f"{PID_COL}={pid}")
             n = 0
             if os.path.isdir(pdir):
-                for f in os.listdir(pdir):
-                    if f.endswith(".parquet"):
-                        n += pq.ParquetFile(os.path.join(pdir, f)).metadata.num_rows
+                # walk: files may sit under nested extra_partition_cols dirs
+                for root, _dirs, files in os.walk(pdir):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
             out[pid] = n
         return out
 

@@ -72,6 +72,9 @@ def main(argv=None):
     ap.add_argument("--asof-strategy", default="hybrid",
                     choices=["union", "merge", "bucketed", "hybrid"],
                     help="physical as-of strategy; hybrid = hot/cold skew split")
+    ap.add_argument("--output-partition-by", nargs="*", default=[],
+                    help="extra hive-partition columns under the pid layout "
+                         "(P4 pruning for downstream readers), e.g. source")
     ap.add_argument("--kill-after-chunks", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -113,7 +116,7 @@ def main(argv=None):
         )
         print(f"hot keys detected: {len(hot_keys)} (threshold {thr})")
 
-    io = ParquetJournalTableIO(args.output)
+    io = ParquetJournalTableIO(args.output, extra_partition_cols=args.output_partition_by)
     mgr = CheckpointManager(io, args.partitions)
     pending = mgr.pending()
     print(f"partitions={args.partitions} pending={len(pending)} "

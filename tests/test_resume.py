@@ -124,3 +124,25 @@ def test_zero_row_retry_deletes_orphans(spark, tmp_path):
     assert io.count_rows([2])[2] == 0, "phantom orphan rows survived the retry"
     out = io.read_all(spark, committed_only=True)
     assert out.count() == 10
+
+
+@pytest.mark.slow
+def test_output_partitioned_by_source(spark, tmp_path):
+    """P4 composed under the checkpoint layout: __pid=X/source=Y/ — resume
+    semantics intact, downstream source-filtered reads prune directories."""
+    out = str(tmp_path / "p4out")
+    r = _run(out, "--synthetic", "400", "--output-partition-by", "source")
+    assert r.returncode == 0, r.stdout + r.stderr
+    import glob
+
+    nested = glob.glob(os.path.join(out, "data", "__pid=*", "source=*"))
+    assert nested, "expected nested source=... partition dirs"
+    df = spark.read.parquet(os.path.join(out, "data"))
+    pruned = df.where(df.source == "src0")
+    assert pruned.count() > 0
+    # journal counted rows from the nested layout (footer walk)
+    with open(os.path.join(out, "_journal", sorted(os.listdir(os.path.join(out, "_journal")))[0])) as fh:
+        import json as _json
+
+        rec = _json.load(fh)
+    assert rec["metrics"]["rows_out"] >= 0
