@@ -61,8 +61,16 @@ def stats(df, plan: str) -> str:
     return "\n".join(lines)
 
 
-def section(title: str, desc: str, df) -> str:
+def section(title: str, desc: str, df, max_exchanges: int | None = None) -> str:
+    """``max_exchanges``: hard gate — the audit FAILS if the plan needs more
+    real exchanges than the design claims (shape regressions surface here,
+    not at 100 TB)."""
     p = plan_of(df)
+    if max_exchanges is not None:
+        n_ex = len(re.findall(r"^\(\d+\) Exchange\b", p, re.M))
+        assert n_ex <= max_exchanges, (
+            f"{title}: {n_ex} exchanges > allowed {max_exchanges}\n{p[:2000]}"
+        )
     return f"## {title}\n\n{desc}\n\n```\n{stats(df, p)}\n```\n\n<details><summary>full plan</summary>\n\n```\n{p}\n```\n\n</details>\n"
 
 
@@ -89,9 +97,10 @@ def main() -> None:
     secs.append(section(
         "As-of (union strategy) + lag + sessionize chain",
         "All per-entity windows share `partitionBy(user_id)` — the whole "
-        "chain should need ONE real exchange; the two scans carry pushed "
-        "`event_type` filters and pruned schemas.",
+        "chain needs ONE real exchange (hard-asserted); the two scans carry "
+        "pushed `event_type` filters and pruned schemas.",
         f,
+        max_exchanges=1,
     ))
 
     r = rolling_aggregates(f.select("event_id", "user_id", "ts", "value_last"),
@@ -101,8 +110,9 @@ def main() -> None:
         "Prefix rolling (fused explode + window)",
         "The cutoff lookup is fused: one generate (explode into state/probe "
         "roles) + one window — the upstream chain appears ONCE in the plan "
-        "(no self-join, no duplicate subtree).",
+        "(no self-join, no duplicate subtree). Hard-asserted at one exchange.",
         r,
+        max_exchanges=1,
     ))
 
     orders = read_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
@@ -146,6 +156,58 @@ def main() -> None:
         f"Checked: `{pf[0]}`",
         pruned,
     ))
+
+    # ANN paths: corpus side must stay shuffle-free until the keyed join
+    from engine.corpus.similarity import ivf_topk, lsh_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    qv = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    lsh_plan = lsh_topk(emb, qv, k=5)
+    secs.append(section(
+        "LSH ANN top-k (single table)",
+        "Corpus-side bucket signature is a per-row JVM fold (plan literals, "
+        "no broadcast variable); the query side is an explicit broadcast — "
+        "the corpus never shuffles before the bucket join; the only real "
+        "exchange is the per-query top-k window.",
+        lsh_plan,
+        max_exchanges=1,
+    ))
+    ivf_plan = ivf_topk(emb, qv, k=5, centroid_stride=40, nprobe=3)
+    secs.append(section(
+        "IVF-flat ANN top-k",
+        "Nearest-centroid assignment is one JVM scan (C cosines + greatest "
+        "+ CASE, no explode). Two exchanges, NEITHER keyed on the corpus: "
+        "the nprobe-selection window on the (tiny, then-broadcast) query "
+        "side, and the final per-query top-k window over scored candidates.",
+        ivf_plan,
+        max_exchanges=2,
+    ))
+
+    # near-dup chain: banded self-join must join on the band key (shuffle
+    # keyed on band_key), never cross-join
+    from engine.corpus.dedup import lsh_candidate_pairs, ngram_jaccard_pairs, shingle_table
+
+    d = read_table(spark, SF, "documents").select("doc_id", "text")
+    sh = shingle_table(d)
+    nd = ngram_jaccard_pairs(d, lsh_candidate_pairs(d, shingle_df=sh),
+                             threshold=0.8, shingle_df=sh)
+    ndp = plan_of(nd)
+    assert "CartesianProduct" not in ndp and "BroadcastNestedLoopJoin" not in ndp, (
+        "near-dup chain degenerated to a cross join"
+    )
+    secs.append(section(
+        "MinHash-LSH near-dup chain (shingle -> bands -> verify)",
+        "The persisted shingle/band tables appear as InMemoryTableScan (one "
+        "shingle evaluation feeds MinHash AND the Jaccard verify); the "
+        "candidate self-join is an equi-join on (band_id, band_key) — "
+        "hard-asserted: no cartesian/nested-loop degeneration.",
+        nd,
+    ))
+    from engine import cache as _cache
+
+    _cache.release_all()
 
     with open("docs/PLANS.md", "w") as fh:
         fh.write(
