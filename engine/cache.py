@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+_CHECKPOINTED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame, level=None) -> DataFrame:
@@ -44,13 +45,42 @@ def tracked_persist(df: DataFrame, level=None) -> DataFrame:
     return out
 
 
+def chain_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Plan-lineage barrier for ITERATIVELY CHAINED operators (the hot
+    branch of the hybrid skew split): ``localCheckpoint`` truncates the
+    logical plan to a LogicalRDD.
+
+    Why persist() is NOT enough here: persist registers the plan in the
+    CacheManager but the downstream LOGICAL tree still nests the full
+    upstream plan — and every bucketed operator references its input
+    several times (carry tables), so chaining multiplies the analyzed plan
+    ~6x PER STEP. Measured on a 60-doc fixture the 4-step hot chain built a
+    26-million-character plan and spent ~24 s of DRIVER time (analyzer /
+    optimizer / codegen) executing 200 rows; with chain_checkpoint the plan
+    stays ~200k chars and execution is ~1.5 s. That driver cost is fixed
+    per-job, unscalable, and was the hybrid pipeline's dominant overhead.
+
+    The checkpointed blocks are MEMORY_AND_DISK RDD cache entries owned by
+    Spark's ContextCleaner: they are freed when the DataFrame is
+    garbage-collected. release_all() drops the registry references so GC
+    can reclaim them at the pipeline barrier."""
+    out = df.localCheckpoint(eager=eager)
+    with _LOCK:
+        _CHECKPOINTED.append(out)
+    return out
+
+
 def release_all() -> int:
     """Unpersist every engine-tracked frame (blocking=False: executors drop
-    blocks asynchronously, the driver does not wait). Returns the number of
-    frames released. Safe to call with a stopped SparkContext."""
+    blocks asynchronously, the driver does not wait) and drop references to
+    chain-checkpointed frames (their blocks are reclaimed by Spark's
+    ContextCleaner once unreferenced). Returns the number of frames
+    released. Safe to call with a stopped SparkContext."""
     with _LOCK:
         frames, _TRACKED[:] = _TRACKED[:], []
-    n = 0
+        ckpts, _CHECKPOINTED[:] = _CHECKPOINTED[:], []
+    n = len(ckpts)
+    del ckpts
     for df in frames:
         try:
             df.unpersist()
@@ -62,7 +92,7 @@ def release_all() -> int:
 
 def tracked_count() -> int:
     with _LOCK:
-        return len(_TRACKED)
+        return len(_TRACKED) + len(_CHECKPOINTED)
 
 
 @contextlib.contextmanager

@@ -302,9 +302,14 @@ def lower(
             raise ValueError(f"unknown plan op: {step.op!r}")
         hot = _lower_hot_step(hot, plan, step, hot_tables, bucket_us)
         if persist_hot and step.op in _PER_ENTITY_OPS:
-            from engine.cache import tracked_persist
+            # chain barrier, not persist: every bucketed op references its
+            # input several times (carry tables), so chaining multiplies the
+            # LOGICAL plan ~6x per step — localCheckpoint truncates it (see
+            # engine.cache.chain_checkpoint; measured 26M-char plan / ~24 s
+            # of driver time for a 4-step chain without it)
+            from engine.cache import chain_checkpoint
 
-            hot = tracked_persist(hot)
+            hot = chain_checkpoint(hot)
     return cold.unionByName(hot.select(*cold.columns))
 
 

@@ -107,6 +107,39 @@ def salted_join(
     return out.drop(_SALT)
 
 
+def hot_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    hot_keys: list,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-proof dimension join when the hot KEYS are known (e.g. from
+    ``detect_hot_keys``): the hot keys' dim rows — at most |hot_keys| rows,
+    broadcastable by definition — join map-side, so a hot key's fact rows
+    stay spread across all their partitions instead of converging on the
+    one reducer that owns the key. The long tail keeps the engine's default
+    join, preserving bucket co-location when ``dim`` is a bucketed table.
+
+    This beats full ``salted_join`` for fat dims: salting re-keys the join
+    on (key, salt), which would force a full shuffle of the dim side and
+    forfeit bucket locality; here the cold join's keying is untouched.
+
+    The fact side is referenced twice (hot + cold branch) — persist it
+    upstream (the flagship does) or accept double evaluation.
+    """
+    from engine.hotwin import hot_predicate
+
+    keys = _as_list(on)
+    pred_f = hot_predicate(keys if len(keys) > 1 else keys[0], hot_keys)
+    pred_d = hot_predicate(keys if len(keys) > 1 else keys[0], hot_keys)
+    cold = fact.where(~F.coalesce(pred_f, F.lit(False))).join(dim, keys, how)
+    hot = fact.where(pred_f).join(
+        F.broadcast(dim.where(pred_d)), keys, how
+    )
+    return cold.unionByName(hot)
+
+
 def two_level_agg(
     df: DataFrame,
     keys: str | Sequence[str],

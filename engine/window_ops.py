@@ -263,8 +263,6 @@ def rolling_aggregates(
     if _bucket_us:
         # hot-key path: bucket-stitched expanding sums (engine.hotwin) and a
         # time-bucketed as-of for the cutoff lookup — no serial hot task
-        from pyspark import StorageLevel
-
         from engine.hotwin import bucketed_expanding_sums
 
         d = bucketed_expanding_sums(df, ents, ts, specs, bucket_us=_bucket_us)
@@ -272,10 +270,13 @@ def rolling_aggregates(
         state_ts = "__afg_prefix_ts"
         d = d.withColumn(cut, F.timestamp_micros(epoch_micros(ts) - F.lit(win_us + 1)))
         # This path runs on hot keys only (bounded input); the cutoff as-of
-        # reads d twice (probe + state side), so cache the cummed frame.
-        from engine.cache import tracked_persist
+        # reads d twice (probe + state side) AND its own bucketed machinery
+        # references d repeatedly — checkpoint to truncate the plan (a
+        # persist would leave the full upstream tree nested in each
+        # reference; see engine.cache.chain_checkpoint)
+        from engine.cache import chain_checkpoint
 
-        d = tracked_persist(d, StorageLevel.MEMORY_AND_DISK)
+        d = chain_checkpoint(d)
         # State rows at tied timestamps carry identical range-frame cums, so
         # the as-of's arbitrary pick among ties cannot change the result.
         state = d.select(*ents, F.col(ts).alias(state_ts), *partials)

@@ -70,3 +70,34 @@ def test_pipeline_deterministic(spark, seq_fixtures):
         )
 
     assert_frames_allclose(run(), run())
+
+
+def test_hot_broadcast_join_equals_plain_join(spark):
+    """hot_broadcast_join must equal the plain join exactly — hot keys are a
+    routing choice, never a semantic one (including unmatched left rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from engine.skew import hot_broadcast_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ([0] * 5 + [i % 7])],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(5)], "k long, attr string"  # keys 5,6 unmatched
+    )
+    plain = fact.join(dim, "k", "left").toPandas()
+    routed = hot_broadcast_join(fact, dim, "k", hot_keys=[0], how="left").toPandas()
+    key = ["k", "v", "attr"]
+    a = plain.sort_values(key, na_position="last").reset_index(drop=True)
+    b = routed.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    # the hot branch really broadcasts (plan shows BroadcastHashJoin)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        hot_broadcast_join(fact, dim, "k", hot_keys=[0]).explain()
+    assert "BroadcastHashJoin" in buf.getvalue()
