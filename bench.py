@@ -158,10 +158,13 @@ def flagship_pipeline(spark, root: str, strategy: str = "hybrid", hot_keys=None)
     token arrays carried through JVM-side end to end.
 
     strategy="hybrid": hot doc_ids are detected ONCE (one partial-agg count)
-    and routed through the time-bucketed plans in every per-entity operator
-    (as-of, lag, sessionize, prefix-rolling) — no serial hot-key task
-    anywhere. strategy="union" is the naive single-window contrast."""
+    and the WHOLE chain runs as the fused hybrid plan (engine.fused): two
+    wide exchanges clustered by (doc_id, B) with B = hot ? time-bucket : 0,
+    hot-only broadcast carry tables — one scan per input, no per-branch
+    chains, no serial hot-key task anywhere. strategy="union" is the naive
+    single-window contrast."""
     from engine.asof import asof_join
+    from engine.cache import tracked_persist
     from engine.skew import detect_hot_keys, two_level_agg
     from engine.window_ops import lag_features, rolling_aggregates, sessionize
 
@@ -175,51 +178,25 @@ def flagship_pipeline(spark, root: str, strategy: str = "hybrid", hot_keys=None)
     # mean more parallel slices of the hot key's timeline
     BUCKET_US = 6 * 3_600_000_000
 
-    def sub_chain(p, e, hotpath):
-        kw = dict(on="doc_id", probe_ts="asof_ts", state_ts="ts",
-                  values=["fvalue", "fcat"], suffix="_last")
-        if hotpath:
-            from engine import hotwin
-            from engine.cache import chain_checkpoint as ck
-
-            # chain barrier every OTHER bucketed op: each op references its
-            # input several times (carry tables), so plain chaining
-            # multiplies the LOGICAL plan ~6x per step; truncating every two
-            # ops keeps plans bounded while halving the checkpoint
-            # materializations (see engine.cache.chain_checkpoint)
-            f = ck(asof_join(
-                p, e, strategy="bucketed", bucket=BUCKET_US / 1e6,
-                persist_intermediate=True, **kw,
-            ))
-            f = hotwin.bucketed_lag_features(
-                f, "doc_id", "asof_ts", ["fvalue_last"], lags=[1, 2],
-                bucket_us=BUCKET_US,
-            )
-            f = ck(hotwin.bucketed_sessionize(
-                f, "doc_id", "asof_ts", 3_600_000_000, bucket_us=BUCKET_US
-            ))
-            f = rolling_aggregates(
-                f, "doc_id", "asof_ts", {"fvalue_last": ["count", "sum"]},
-                window="1 day", method="prefix", _bucket_us=BUCKET_US,
-            )
-        else:
-            f = asof_join(p, e, strategy="union", **kw)
-            f = lag_features(f, "doc_id", "asof_ts", ["fvalue_last"], lags=[1, 2])
-            f = sessionize(f, "doc_id", "asof_ts", gap="1 hour")
-            f = rolling_aggregates(
-                f, "doc_id", "asof_ts", {"fvalue_last": ["count", "sum"]},
-                window="1 day", method="prefix",
-            )
-        return f
+    def plain_chain(p, e):
+        f = asof_join(p, e, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+                      values=["fvalue", "fcat"], suffix="_last", strategy="union")
+        f = lag_features(f, "doc_id", "asof_ts", ["fvalue_last"], lags=[1, 2])
+        f = sessionize(f, "doc_id", "asof_ts", gap="1 hour")
+        return rolling_aggregates(
+            f, "doc_id", "asof_ts", {"fvalue_last": ["count", "sum"]},
+            window="1 day", method="prefix",
+        )
 
     srcsel = seqs.select("doc_id", "source")
     if strategy == "hybrid":
         # Hot keys detected ONCE per corpus (input metadata, like table
-        # stats — callers may pass a precomputed list); the split happens
-        # ONCE, before the as-of, yielding two LINEAR chains (per-operator
-        # splitting would fork the DAG at every step — 2^ops recomputation
-        # of shared subtrees).
+        # stats — callers may pass a precomputed list). The fused hybrid
+        # plan splits hot keys by time INSIDE the shared exchanges, so the
+        # fact tables are scanned once and the hot key never serializes
+        # into one task.
         from engine import hotwin
+        from engine.fused import fused_feature_chain
 
         hot = hot_keys
         if hot is None:
@@ -230,42 +207,46 @@ def flagship_pipeline(spark, root: str, strategy: str = "hybrid", hot_keys=None)
                 probes.select("doc_id").unionByName(ev.select("doc_id")),
                 "doc_id", thr, sample_fraction=0.05,
             )
+        feat = fused_feature_chain(
+            probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+            values=["fvalue", "fcat"], suffix="_last",
+            lag_cols=["fvalue_last"], lags=[1, 2],
+            session_gap="1 hour",
+            rolling={"fvalue_last": ["count", "sum"]},
+            rolling_window="1 day",
+            bucket=BUCKET_US / 1e6,
+            hot_keys=hot,
+        )
         if hot:
             # The token join is ALSO skewed by the hot doc_id (its millions
             # of feature rows would converge on the one reducer owning the
             # key and emit gigabytes from one task — measured as an 18 s
-            # straggler stage at 16 cores). So each branch joins BEFORE the
-            # union: the cold branch keeps the bucket-co-located join
-            # against the bucketed seqs table, the hot branch joins a
-            # BROADCAST of its own dim rows (≤ |hot_keys| rows by
-            # definition) map-side. Each branch is persisted — single
-            # consumer per action populates the cache inline (fully
-            # pipelined), and src_stats reuses both caches.
+            # straggler stage at 16 cores). Split at the JOIN only: cold
+            # rows keep the bucket-co-located join against the bucketed
+            # seqs table, hot rows join a BROADCAST of their own dim rows
+            # (≤ |hot_keys| rows by definition) map-side. The feature frame
+            # feeds four consumers (2 joins × 2 outputs) — persisted once,
+            # narrow columns, no tokens.
+            feat = tracked_persist(feat)
             pred = hotwin.hot_predicate("doc_id", hot)
             not_hot = ~F.coalesce(pred, F.lit(False))
-            cold = sub_chain(probes.where(not_hot), ev.where(not_hot), False).persist()
-            hotf = sub_chain(probes.where(pred), ev.where(pred), True)
-            hotf = hotf.select(*cold.columns).persist()
-            out = cold.join(seqs, "doc_id", "left").unionByName(
-                hotf.join(F.broadcast(seqs.where(pred)), "doc_id", "left")
+            out = feat.where(not_hot).join(seqs, "doc_id", "left").unionByName(
+                feat.where(pred).join(F.broadcast(seqs.where(pred)), "doc_id", "left")
             )
-            src_join = cold.join(srcsel, "doc_id", "left").unionByName(
-                hotf.join(F.broadcast(srcsel.where(pred)), "doc_id", "left")
+            src_join = feat.where(not_hot).join(srcsel, "doc_id", "left").unionByName(
+                feat.where(pred).join(F.broadcast(srcsel.where(pred)), "doc_id", "left")
             )
             src_stats = two_level_agg(
                 src_join, "source", {"fvalue_last": ["count", "sum", "avg"]},
                 buckets=16,
             )
             return out, src_stats
-        feat = sub_chain(probes, ev, False)
     else:
-        feat = sub_chain(probes, ev, False) if strategy == "union" else sub_chain(
-            probes, ev, True
-        )
+        feat = plain_chain(probes, ev)
     # The feature frame feeds BOTH outputs — cache it (narrow columns, no
     # tokens). Stats joins only (doc_id, source), never the token arrays;
     # the token join happens once, for the feature table itself.
-    feat = feat.persist()
+    feat = tracked_persist(feat)
     out = feat.join(seqs, "doc_id", "left")
     src_stats = two_level_agg(
         feat.join(srcsel, "doc_id", "left"),

@@ -1,0 +1,513 @@
+"""Fused feature chain: as-of + lag/lead + sessionize + prefix rolling in
+TWO wide shuffles — with an optional built-in hot/cold skew split.
+
+Why this exists: the hybrid skew split routes hot entities through the
+time-bucketed operators in ``engine.hotwin`` / ``engine.asof``. Each of
+those is correct and individually skew-proof, but each pays its own wide
+exchange, carry aggregation, and carry join — chained, the hot branch of the
+flagship pipeline compiled to ~10 wide shuffles plus 2 plan-truncation
+checkpoints, and its wall time was dominated by per-stage fixed costs that
+do not shrink with cores (measured ~0.5 scaling efficiency 4→16 cores for
+the hot branch while the cold chain sat near the CPU ceiling).
+
+The fusion observation: every op in the chain wants the SAME physical
+layout — rows hash-clustered by ``(entity, time_bucket)`` and sorted by
+event time. Spark evaluates any number of window expressions over one
+partitioning+ordering in a single Window operator without re-shuffling, so
+the whole chain collapses to:
+
+* **Exchange 1** — the tagged probe∪state union, clustered by
+  ``(entity, bucket)``; one sorted pass computes the in-bucket as-of
+  resolution, per-probe row numbers, in-bucket lags, the session-gap
+  flag, and the in-bucket expanding (range) cums for the rolling partials.
+* **Tiny carry tables** — one row per (entity, active bucket): the as-of
+  carry (last state payload, forward-filled), and a second carry holding
+  per-bucket max/min timestamps, session-flag totals, rolling-partial
+  totals, and the K-row bucket tail for cross-bucket lag context. Both are
+  |entities × buckets| — broadcast-joined, never a wide shuffle.
+* **Exchange 2** — the prefix-rolling cutoff resolution: each feature row
+  explodes into (state@ts, probe@ts−W−1µs) roles clustered by
+  ``(entity, bucket_of_role_key)``; one sorted pass resolves the cutoff
+  cums; buckets that hold no earlier row fall back to a broadcast
+  per-bucket start-offset table.
+
+**Hybrid mode (``hot_keys=``)** — the whole-pipeline skew split collapses
+into the SAME two exchanges: the bucket id becomes
+``B = hot(entity) ? floor(ts/bucket) : 0``, so hot entities are time-split
+across tasks while every cold entity keeps a single per-entity group
+(exactly the plain single-window plan). The carry tables are built from
+the hot slices only (tiny, persisted once) and broadcast; cold rows simply
+miss in the carry join and coalesce to the no-earlier-bucket defaults —
+which is precisely their semantics. Compared to the two-branch split
+(cold chain ∪ per-op bucketed hot chain), this removes the duplicate input
+scans, the hot branch's ~10 fixed-cost stages, the plan-truncation
+checkpoints, and the branch persists: the big data makes exactly one pass
+through each exchange. At 100 TB the carry tables stay
+|hot_keys × active buckets| rows — size ``bucket`` so that stays
+broadcastable (e.g. 10k hot keys × 120 buckets ≈ 1.2M tiny rows).
+
+Semantics are IDENTICAL to composing the public operators
+(``asof_join`` → ``lag_features`` → ``sessionize`` →
+``rolling_aggregates(method="prefix")``); tests/test_fused.py asserts
+row-level equality against that composition, in both modes. Determinism
+requires unique ``(entity, ts)`` probe rows (same as the composed ops —
+window ordering among exact ties is engine-chosen either way).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.asof import _PAYLOAD, _TAG, _TS_KEY, _tagged_union
+from engine.cache import chain_checkpoint, tracked_persist
+from engine.hotwin import hot_predicate
+from engine.tstools import epoch_micros
+from engine.window_ops import parse_duration_seconds
+
+_B = "__fx_b"
+
+
+def _as_list(x: str | Sequence[str]) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+def _empty_like(col: Column) -> Column:
+    """Typed empty array matching ``col``'s element type."""
+    return F.slice(col, 1, 0)
+
+
+def fused_feature_chain(
+    probes: DataFrame,
+    state: DataFrame,
+    on: str | Sequence[str],
+    probe_ts: str = "ts",
+    state_ts: str | None = None,
+    values: Sequence[str] | None = None,
+    suffix: str = "",
+    strict: bool = False,
+    lag_cols: Sequence[str] = (),
+    lags: Sequence[int] = (1,),
+    session_gap: str | int | float | None = None,
+    session_col: str = "session_id",
+    rolling: dict[str, Sequence[str]] | None = None,
+    rolling_window: str | int | float = "1 day",
+    bucket: str | int | float = "6 hours",
+    hot_keys: Sequence | None = None,
+) -> DataFrame:
+    """Fused feature chain over ``probes`` against ``state``.
+
+    Equivalent to::
+
+        f = asof_join(probes, state, on, probe_ts, state_ts, values,
+                      strict=strict, suffix=suffix)           # any strategy
+        f = lag_features(f, on, probe_ts, lag_cols, lags=lags)
+        f = sessionize(f, on, probe_ts, gap=session_gap)      # if gap given
+        f = rolling_aggregates(f, on, probe_ts, rolling,
+                               window=rolling_window, method="prefix")
+
+    but compiled to two wide shuffles total. ``lag_cols`` name columns AFTER
+    the as-of suffix is applied (e.g. ``fvalue_last``); ``rolling`` maps
+    those names to agg lists among {count, sum, avg, mean, stddev}.
+
+    ``hot_keys=None`` buckets EVERY entity by time (the pure hot-branch
+    plan — feed it pre-filtered hot slices). ``hot_keys=[...]`` is the
+    whole-pipeline hybrid: listed entities are time-bucketed, everything
+    else runs as a plain per-entity group in the same two exchanges, and
+    the carry tables are built from the (tiny, persisted) hot slices only.
+    An empty list means "no skew": the plan degenerates to the plain
+    single-window chain.
+    """
+    keys = _as_list(on)
+    state_ts = state_ts or probe_ts
+    if values is None:
+        values = [c for c in state.columns if c not in set(keys) | {state_ts}]
+    values = list(values)
+    out_names = [v + suffix for v in values]
+    lag_cols = list(lag_cols)
+    lags = sorted(set(int(k) for k in lags))
+    k_max = max(lags) if lags else 0
+    bucket_us = int(parse_duration_seconds(bucket) * 1_000_000)
+    gap_us = (
+        int(parse_duration_seconds(session_gap) * 1_000_000)
+        if session_gap is not None
+        else None
+    )
+    win_us = int(parse_duration_seconds(rolling_window) * 1_000_000)
+    rolling = rolling or {}
+    decomposable = {"count", "sum", "avg", "mean", "stddev"}
+    bad = [n for ns in rolling.values() for n in ns if n not in decomposable]
+    if bad:
+        raise ValueError(f"fused chain cannot compute rolling {bad} (prefix method)")
+    rsuffix = (
+        rolling_window.replace(" ", "")
+        if isinstance(rolling_window, str)
+        else f"{int(rolling_window)}s"
+    )
+
+    pred: Column | None = None
+    if hot_keys is not None:
+        hot_keys = list(hot_keys)
+        pred = hot_predicate(on, hot_keys) if hot_keys else F.lit(False)
+
+    def time_b(col: Column) -> Column:
+        return F.floor(col / F.lit(bucket_us))
+
+    def bucket_of(col: Column) -> Column:
+        """Hybrid: only hot entities are time-split; a cold entity keeps one
+        group (B=0), making its in-bucket window the complete computation."""
+        if pred is None:
+            return time_b(col)
+        return F.when(pred, time_b(col)).otherwise(F.lit(0))
+
+    # rolling partial specs — identical to rolling_aggregates(method="prefix")
+    specs: dict[str, Column] = {}
+    for c, names in rolling.items():
+        need = set(names)
+        specs[f"__cn_{c}"] = (
+            F.when(F.col(c).isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        if need & {"sum", "avg", "mean", "stddev"}:
+            specs[f"__cs_{c}"] = F.col(c)
+        if "stddev" in need:
+            specs[f"__cq_{c}"] = F.col(c) * F.col(c)
+    partials = list(specs)
+
+    # ---- carry-source slices: hot rows only in hybrid mode ---------------
+    if pred is None:
+        cp, cs = probes, state
+    else:
+        # tiny by the hot-key definition; persisted so the carry subtrees
+        # (asof carry, carry2, start offsets) never rescan the fact tables
+        cp = tracked_persist(probes.where(pred))
+        cs = tracked_persist(state.where(pred))
+
+    # ---- as-of cross-bucket carry (tiny, broadcast) ---------------------
+    # Same construction as engine.asof._asof_bucketed: per-(entity, bucket)
+    # last state payload (max_by ties resolved identically), forward-filled
+    # over the union of probe and state bucket axes.
+    pay_expr = F.struct(
+        *[F.col(v).alias(n) for v, n in zip(values, out_names)],
+        F.col(state_ts).cast("timestamp").alias("__state_ts"),
+    )
+    st = cs.select(
+        *keys,
+        time_b(epoch_micros(state_ts)).alias(_B),
+        epoch_micros(state_ts).alias("__fx_sts"),
+        pay_expr.alias("__fx_pay"),
+    )
+    bucket_last = st.groupBy(*keys, _B).agg(
+        F.max_by(
+            F.col("__fx_pay"), F.struct(F.col("__fx_sts"), F.col("__fx_pay"))
+        ).alias("__fx_pay")
+    )
+    axis = (
+        cp.select(*keys, time_b(epoch_micros(probe_ts)).alias(_B))
+        .distinct()
+        .unionByName(bucket_last.select(*keys, _B))
+        .distinct()
+    )
+    w_ff = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_B))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    asof_carry = (
+        axis.join(bucket_last, on=[*keys, _B], how="left")
+        .withColumn("__fx_carry", F.last("__fx_pay", ignorenulls=True).over(w_ff))
+        .select(*keys, _B, "__fx_carry")
+    )
+    if pred is not None:
+        asof_carry = tracked_persist(asof_carry)
+
+    # ---- Exchange 1 + same-exchange window pass -------------------------
+    tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
+    w_asof = (
+        Window.partitionBy(*keys, _B)
+        .orderBy(F.col(_TS_KEY).asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rows = Window.partitionBy(*keys, _B).orderBy(F.col(_TS_KEY))
+    w_range = w_rows.rangeBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy(*keys, _B)
+    exprs = [
+        F.row_number().over(w_rows).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__cnt"),
+    ]
+    if gap_us is not None:
+        exprs.append(F.lag(F.col(_TS_KEY)).over(w_rows).alias("__pts"))
+    for c in lag_cols:
+        for k in lags:
+            exprs.append(F.lag(F.col(c), k).over(w_rows).alias(f"__lg_{c}_{k}"))
+    for p, addend in specs.items():
+        exprs.append(F.sum(addend).over(w_range).alias(f"__cum_{p}"))
+
+    probe_cols = probes.columns
+
+    def e1(p: DataFrame, s: DataFrame, always_bucketed: bool) -> DataFrame:
+        """Union → (entity, B)-clustered window pass → as-of-resolved
+        feature rows with rn / lags / session flag / in-bucket cums."""
+        unioned, pcols = _tagged_union(
+            p, s, keys, probe_ts, state_ts, values, out_names
+        )
+        b = time_b(F.col(_TS_KEY)) if always_bucketed else bucket_of(F.col(_TS_KEY))
+        unioned = unioned.withColumn(_B, b)
+        d = unioned.withColumn(
+            _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_asof)
+        ).where(F.col(_TAG) == 1)
+        d = d.join(F.broadcast(asof_carry), on=[*keys, _B], how="left")
+        pay = F.coalesce(F.col(_PAYLOAD), F.col("__fx_carry"))
+        d = d.select(
+            *keys,
+            _B,
+            _TS_KEY,
+            *[c for c in pcols if c not in keys],
+            *[pay.getField(n).alias(n) for n in out_names],
+        )
+        m = d.select("*", *exprs)
+        if gap_us is not None:
+            m = m.withColumn(
+                "__flag_in",
+                F.when(
+                    (F.col("__rn") > 1)
+                    & ((F.col(_TS_KEY) - F.col("__pts")) > gap_us),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+        return m
+
+    mid = e1(probes, state, always_bucketed=(pred is None))
+    if pred is None:
+        # The feature frame feeds the main chain AND the carry-2 aggregation;
+        # eager localCheckpoint materializes it ONCE (no broadcast-job race
+        # re-evaluating the upstream union) and truncates the logical plan.
+        mid = chain_checkpoint(mid, eager=True)
+        mid_c = mid
+    else:
+        # hybrid: carries aggregate over the HOT slices only — a second tiny
+        # E1 over the persisted cp/cs caches. The big `mid` stays a
+        # single-consumer linear plan: no checkpoint, no re-evaluation.
+        mid_c = e1(cp, cs, always_bucketed=True)
+
+    # ---- carry 2 (tiny, broadcast): per-bucket stats + K-row tails ------
+    agg_exprs = [
+        F.min(F.col(_TS_KEY)).alias("__min_ts"),
+        F.max(F.col(_TS_KEY)).alias("__max_ts"),
+        *[F.max(f"__cum_{p}").alias(f"__tot_{p}") for p in partials],
+    ]
+    if gap_us is not None:
+        agg_exprs.append(F.sum("__flag_in").alias("__fin"))
+    if k_max:
+        tail_struct = F.when(
+            F.col("__rn") > F.col("__cnt") - k_max,
+            F.struct(
+                F.col(_TS_KEY).alias("__t"),
+                *[F.col(c).alias(c) for c in lag_cols],
+            ),
+        )
+        agg_exprs.append(
+            F.array_sort(F.collect_list(tail_struct)).alias("__tail")
+        )
+    c2 = mid_c.groupBy(*keys, _B).agg(*agg_exprs)
+
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_B))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy(F.col(_B))
+    carry_cols = [*keys, _B]
+    c2 = c2.withColumn("__prev_c", F.lag("__max_ts").over(w_lag))
+    if gap_us is not None:
+        first_flag = F.when(
+            F.col("__prev_c").isNull()
+            | ((F.col("__min_ts") - F.col("__prev_c")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        c2 = c2.withColumn("__btot", F.col("__fin") + first_flag)
+        c2 = c2.withColumn(
+            "__sess_off", F.coalesce(F.sum("__btot").over(w_prev), F.lit(0))
+        )
+        c2 = c2.withColumn("__first_flag", first_flag)
+        carry_cols += ["__first_flag", "__sess_off"]
+    for p in partials:
+        c2 = c2.withColumn(f"__off_{p}", F.sum(f"__tot_{p}").over(w_prev))
+        # an all-null addend bucket has a NULL in-bucket cum → NULL total;
+        # its end-of-bucket cum is just the carried-in offset (sum skips nulls)
+        c2 = c2.withColumn(
+            f"__end_{p}",
+            F.coalesce(F.col(f"__off_{p}"), F.lit(0))
+            + F.coalesce(F.col(f"__tot_{p}"), F.lit(0)),
+        )
+        carry_cols.append(f"__off_{p}")
+    if k_max:
+        # last k_max rows over ALL earlier buckets: every indexed bucket is
+        # non-empty, so they lie within the previous k_max buckets' tails
+        tails = [
+            F.coalesce(F.lag("__tail", j).over(w_lag), _empty_like(F.col("__tail")))
+            for j in range(k_max, 0, -1)
+        ]
+        cat = F.concat(*tails) if len(tails) > 1 else tails[0]
+        n = F.size(cat)
+        c2 = c2.withColumn(
+            "__prevk",
+            F.when(n > k_max, F.slice(cat, n - k_max + 1, k_max)).otherwise(cat),
+        )
+        carry_cols.append("__prevk")
+    if pred is not None:
+        # consumed by the carry2 broadcast AND the E2 start-offset table —
+        # tiny; persisting avoids re-running the hot E1 per consumer
+        c2 = tracked_persist(c2)
+    carry2 = c2.select(*carry_cols)
+
+    out = mid.join(F.broadcast(carry2), on=[*keys, _B], how="left")
+
+    # lag finals: in-bucket lag when enough in-bucket history, else the
+    # (k − rn + 1)-th element from the end of the cross-bucket tail.
+    # Cold rows in hybrid mode never match carry2: __prevk is null, the
+    # fallback is null — correct, a single-group entity has no earlier bucket.
+    lag_names = []
+    for c in lag_cols:
+        for k in lags:
+            name = f"{c}_lag{k}"
+            lag_names.append(name)
+            if k_max:
+                idx = F.size(F.col("__prevk")) - (F.lit(k) - F.col("__rn") + 1)
+                fallback = F.get(F.col("__prevk"), idx).getField(c)
+                out = out.withColumn(
+                    name,
+                    F.when(F.col("__rn") > k, F.col(f"__lg_{c}_{k}")).otherwise(
+                        fallback
+                    ),
+                )
+            else:
+                out = out.withColumn(name, F.col(f"__lg_{c}_{k}"))
+
+    # session ids: in-bucket flag cumsum + running earlier-bucket totals.
+    # The no-carry defaults (first row opens a session, zero offset) are the
+    # exact semantics for an entity with no earlier bucket — i.e. cold rows.
+    if gap_us is not None:
+        flag = F.when(
+            F.col("__rn") == 1, F.coalesce(F.col("__first_flag"), F.lit(1))
+        ).otherwise(F.col("__flag_in"))
+        w_cum = w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            session_col,
+            (F.sum(flag).over(w_cum) + F.coalesce(F.col("__sess_off"), F.lit(0)))
+            .cast("long"),
+        )
+
+    # stitched global prefix cums (peer-inclusive)
+    for p in partials:
+        out = out.withColumn(
+            f"__st_{p}",
+            F.coalesce(F.col(f"__cum_{p}"), F.lit(0))
+            + F.coalesce(F.col(f"__off_{p}"), F.lit(0)),
+        )
+
+    keep = [
+        *keys,
+        *[c for c in probe_cols if c not in keys],
+        *out_names,
+        *lag_names,
+        *([session_col] if gap_us is not None else []),
+    ]
+    if not partials:
+        return out.select(*keep)
+
+    # ---- Exchange 2: cutoff resolution for the rolling prefix -----------
+    pay2 = F.struct(*[F.col(f"__st_{p}").alias(p) for p in partials])
+    role = F.explode(
+        F.array(
+            F.struct(
+                F.lit(0).alias("__side"),
+                F.col(_TS_KEY).alias("__key"),
+                pay2.alias("__pay"),
+            ),
+            F.struct(
+                F.lit(1).alias("__side"),
+                (F.col(_TS_KEY) - F.lit(win_us + 1)).alias("__key"),
+                F.when(F.lit(False), pay2).alias("__pay"),
+            ),
+        )
+    )
+    e = out.select(
+        *keep,
+        *[f"__st_{p}" for p in partials],
+        F.col(_TS_KEY),
+        role.alias("__role"),
+    )
+    e = e.select("*", "__role.__side", "__role.__key", "__role.__pay").drop("__role")
+    e = e.withColumn("__rb", bucket_of(F.col("__key")))
+    w_res = (
+        Window.partitionBy(*keys, "__rb")
+        .orderBy(F.col("__key").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = e.withColumn("__base", F.last("__pay", ignorenulls=True).over(w_res))
+    cut = resolved.where(F.col("__side") == 1)
+
+    # start offsets: for a cutoff landing in a bucket with no earlier
+    # feature row, the base is the stitched cum at the end of the last
+    # feature bucket strictly BEFORE it — an as-of over the tiny bucket
+    # axis. Hot-only in hybrid mode: a cold cutoff shares its rows' single
+    # bucket, so a missing base correctly falls back to zero.
+    kh = (win_us + 1) // bucket_us
+    ends = c2.select(
+        *keys,
+        F.col(_B).alias("__rb"),
+        F.struct(*[F.col(f"__end_{p}").alias(p) for p in partials]).alias("__so"),
+        F.lit(1).alias("__kind"),
+    )
+    so_type = ends.schema["__so"].dataType
+    cand = (
+        c2.select(
+            *keys,
+            F.explode(
+                F.array(F.col(_B) - F.lit(kh), F.col(_B) - F.lit(kh + 1))
+            ).alias("__rb"),
+        )
+        .distinct()
+        .withColumn("__so", F.lit(None).cast(so_type))
+        .withColumn("__kind", F.lit(0))
+    )
+    w_so = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__rb").asc(), F.col("__kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    so = (
+        ends.unionByName(cand)
+        .withColumn("__so", F.last("__so", ignorenulls=True).over(w_so))
+        .where(F.col("__kind") == 0)
+        .select(*keys, "__rb", "__so")
+    )
+    cut = cut.join(F.broadcast(so), on=[*keys, "__rb"], how="left")
+    base = F.coalesce(F.col("__base"), F.col("__so"))
+
+    def minus(p: str) -> Column:
+        return F.col(f"__st_{p}") - F.coalesce(base.getField(p), F.lit(0))
+
+    final = cut
+    roll_names = []
+    for c, names in rolling.items():
+        n_w = minus(f"__cn_{c}")
+        s_w = minus(f"__cs_{c}") if f"__cs_{c}" in partials else None
+        for n in names:
+            o = f"{c}_{n}_{rsuffix}"
+            roll_names.append(o)
+            if n == "count":
+                final = final.withColumn(o, n_w.cast("long"))
+            elif n == "sum":
+                final = final.withColumn(o, F.when(n_w > 0, s_w))
+            elif n in ("avg", "mean"):
+                final = final.withColumn(o, F.when(n_w > 0, s_w / n_w))
+            elif n == "stddev":
+                q_w = minus(f"__cq_{c}")
+                var = (q_w - s_w * s_w / n_w) / (n_w - F.lit(1))
+                final = final.withColumn(
+                    o, F.when(n_w > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+                )
+    return final.select(*keep, *roll_names)

@@ -1,0 +1,180 @@
+"""Equality of the fused hot-key feature chain (engine.fused — two wide
+shuffles) with the composition of the public operators it replaces:
+asof_join → lag_features → sessionize → rolling_aggregates(prefix).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from engine.asof import asof_join
+from engine.fused import fused_feature_chain
+from engine.window_ops import lag_features, rolling_aggregates, sessionize
+
+GAP = "1 hour"
+WIN = "1 day"
+
+
+@pytest.fixture(scope="module")
+def sides(seq_fixtures):
+    ev = seq_fixtures["seq_events"]
+    # unique (doc_id, asof_ts) so lag/session ordering is deterministic and
+    # the row-level comparison is well-defined (the raw probe fixture holds
+    # deliberate duplicate ties for the as-of oracle queries)
+    probes = (
+        seq_fixtures["probes"].distinct()
+        .withColumn("probe_id", F.xxhash64("doc_id", "asof_ts"))
+        .cache()
+    )
+    return probes, ev
+
+
+def reference_chain(probes, ev, window=WIN, gap=GAP):
+    f = asof_join(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+    )
+    f = lag_features(f, "doc_id", "asof_ts", ["fvalue_last"], lags=[1, 2])
+    f = sessionize(f, "doc_id", "asof_ts", gap=gap)
+    return rolling_aggregates(
+        f, "doc_id", "asof_ts", {"fvalue_last": ["count", "sum", "avg"]},
+        window=window, method="prefix",
+    )
+
+
+def fused_chain(probes, ev, bucket, window=WIN, gap=GAP):
+    return fused_feature_chain(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+        lag_cols=["fvalue_last"], lags=[1, 2],
+        session_gap=gap, rolling={"fvalue_last": ["count", "sum", "avg"]},
+        rolling_window=window, bucket=bucket,
+    )
+
+
+def assert_equal(ref, fus):
+    key = ["doc_id", "asof_ts", "probe_id"]
+    assert sorted(ref.columns) == sorted(fus.columns)
+    a = ref.toPandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = (
+        fus.select(*ref.columns).toPandas()
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    for c in ref.columns:
+        if c in ("doc_id", "fcat_last"):
+            assert (
+                a[c].fillna("__N").values == b[c].fillna("__N").values
+            ).all(), c
+        elif a[c].dtype.kind in "fiu" or c.startswith("fvalue"):
+            assert np.allclose(
+                a[c].astype(float), b[c].astype(float), equal_nan=True
+            ), c
+        else:
+            assert (a[c].values == b[c].values).all(), c
+
+
+@pytest.mark.parametrize("bucket", ["6 hours", "2 days"])
+def test_fused_matches_composition(sides, bucket):
+    probes, ev = sides
+    assert_equal(reference_chain(probes, ev), fused_chain(probes, ev, bucket))
+
+
+def test_fused_tiny_buckets_exercise_carries(sides):
+    """Bucket far smaller than the event spacing: every bucket holds ~1 row,
+    so every lag/session/rolling answer crosses buckets via the carries."""
+    probes, ev = sides
+    assert_equal(
+        reference_chain(probes, ev, window="6 hours"),
+        fused_chain(probes, ev, "17 minutes", window="6 hours"),
+    )
+
+
+def test_fused_window_smaller_than_bucket(sides):
+    probes, ev = sides
+    assert_equal(
+        reference_chain(probes, ev, window="30 minutes"),
+        fused_chain(probes, ev, "2 days", window="30 minutes"),
+    )
+
+
+HOT = "doc000000000000"  # the fixture's skewed entity (~20% of events)
+
+
+@pytest.mark.parametrize("bucket", ["6 hours", "47 minutes"])
+def test_fused_hybrid_matches_composition(sides, bucket):
+    """hot_keys= mode: hot entities time-bucketed, cold entities plain —
+    one plan, same rows as the composition for BOTH populations."""
+    probes, ev = sides
+    assert_equal(
+        reference_chain(probes, ev),
+        fused_chain_hybrid(probes, ev, bucket, hot_keys=[HOT]),
+    )
+
+
+def test_fused_hybrid_multi_hot(sides):
+    probes, ev = sides
+    hot = [HOT, "doc000000000007", "doc000000000033"]
+    assert_equal(
+        reference_chain(probes, ev),
+        fused_chain_hybrid(probes, ev, "6 hours", hot_keys=hot),
+    )
+
+
+def test_fused_hybrid_empty_hot_list(sides):
+    """hot_keys=[] must degenerate to the plain single-window semantics."""
+    probes, ev = sides
+    assert_equal(
+        reference_chain(probes, ev),
+        fused_chain_hybrid(probes, ev, "6 hours", hot_keys=[]),
+    )
+
+
+def test_fused_hybrid_all_hot(sides):
+    """Every entity hot ≡ the always-bucketed legacy mode."""
+    probes, ev = sides
+    all_ids = [r[0] for r in probes.select("doc_id").distinct().collect()]
+    assert_equal(
+        reference_chain(probes, ev),
+        fused_chain_hybrid(probes, ev, "6 hours", hot_keys=all_ids),
+    )
+
+
+def fused_chain_hybrid(probes, ev, bucket, hot_keys, window=WIN, gap=GAP):
+    return fused_feature_chain(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+        lag_cols=["fvalue_last"], lags=[1, 2],
+        session_gap=gap, rolling={"fvalue_last": ["count", "sum", "avg"]},
+        rolling_window=window, bucket=bucket, hot_keys=hot_keys,
+    )
+
+
+def test_fused_no_state_rows(sides, spark):
+    """Probes with an empty state side: all as-of values null, lags null,
+    sessions and rolling still defined over the probe frame."""
+    probes, ev = sides
+    empty = ev.where(F.lit(False))
+    assert_equal(reference_chain(probes, empty), fused_chain(probes, empty, "6 hours"))
+
+
+def test_fused_leakage_free(sides):
+    """No fused output can depend on state rows after the probe ts: removing
+    all future state rows per probe leaves fvalue_last identical (spot-check
+    via max state ts ≤ probe ts join)."""
+    probes, ev = sides
+    out = fused_chain(probes, ev, "6 hours")
+    joined = out.join(
+        ev.select("doc_id", F.col("ts").alias("state_ts"), F.col("fvalue").alias("sv")),
+        on="doc_id",
+    )
+    # any probe whose fvalue_last matches ONLY future rows would be leakage;
+    # verify every non-null fvalue_last has a matching state row at ts <= probe ts
+    ok = joined.where(
+        (F.col("sv") == F.col("fvalue_last")) & (F.col("state_ts") <= F.col("asof_ts"))
+    ).select("doc_id", "probe_id").distinct()
+    has_val = out.where(F.col("fvalue_last").isNotNull()).select(
+        "doc_id", "probe_id"
+    ).distinct()
+    assert has_val.join(ok, ["doc_id", "probe_id"], "left_anti").count() == 0
