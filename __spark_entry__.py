@@ -895,6 +895,42 @@ def q_hotwin_family(spark, sf_dir):
     )
 
 
+def q_fused_chain(spark, sf_dir):
+    """Fused two-exchange feature chain (engine/fused.py) in hybrid mode:
+    as-of join + lag + sessionize + 1-day rolling compiled to two wide
+    shuffles, with users 0-4 routed through 6-hour time buckets
+    (B = hot(entity) ? floor(ts/bucket) : 0) and cross-bucket state stitched
+    via broadcast carry tables. Semantics are identical to composing the
+    public operators — the oracle is ASOF JOIN + plain window SQL. The
+    rolling source is cast to decimal so the prefix-sum (cum − cum@cutoff)
+    arithmetic is exact and hash-comparable."""
+    from engine.fused import fused_feature_chain
+
+    probes, state = _probe_state(spark, sf_dir)
+    state = state.select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec"),
+        "etype",
+    )
+    r = fused_feature_chain(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["vdec", "etype"], suffix="_last",
+        lag_cols=["etype_last"], lags=[1],
+        session_gap="30 minutes",
+        rolling={"vdec_last": ["count", "sum"]},
+        rolling_window="1 day", bucket="6 hours",
+        hot_keys=[0, 1, 2, 3, 4],
+    )
+    return r.select(
+        "event_id", "user_id", "ts",
+        F.col("vdec_last").cast("double").alias("value_last"),
+        "etype_last",
+        F.col("etype_last_lag1").alias("etype_lag1"),
+        "session_id",
+        F.col("vdec_last_count_1day").alias("n_1d"),
+        F.col("vdec_last_sum_1day").cast("double").alias("sum_1d"),
+    )
+
+
 def q_grouped_demean(spark, sf_dir):
     """G5 oracle coverage: Arrow-batched grouped-map (applyInPandas) — per
     source, demean n_chars. Float discipline: the group mean derives from an
@@ -1097,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "plan_pipeline": q_plan_pipeline,
         "hotwin_family": q_hotwin_family,
+        "fused_chain": q_fused_chain,
         "grouped_demean": q_grouped_demean,
         "trimmed_mean_udaf": q_trimmed_mean_udaf,
         "tumbling_agg": q_tumbling_agg,
@@ -1341,6 +1378,33 @@ SELECT event_id, user_id, ts, value_n, value_n_f, value_n_f_lag1, session_id,
 FROM s
 WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+        "fused_chain": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+s AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS vdec, event_type AS etype
+      FROM events WHERE event_type <> 'click'),
+a AS (
+  SELECT p.event_id, p.user_id, p.ts, s.vdec AS vdec_last, s.etype AS etype_last
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts),
+l AS (
+  SELECT *, lag(etype_last, 1) OVER (PARTITION BY user_id ORDER BY ts) AS etype_lag1
+  FROM a),
+d AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+se AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM d)
+SELECT event_id, user_id, ts, CAST(vdec_last AS DOUBLE) AS value_last,
+       etype_last, etype_lag1, session_id,
+       COUNT(vdec_last) OVER w2 AS n_1d,
+       CAST(SUM(vdec_last) OVER w2 AS DOUBLE) AS sum_1d
+FROM se
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW)
 """,
         "grouped_demean": """
 SELECT doc_id, source, n_chars,

@@ -40,7 +40,7 @@ def get_spark(cores: int) -> SparkSession:
     # workload in single-JVM local mode (measured ~2x on the 32-thread run).
     # AQE partition coalescing is off: it folds the small post-shuffle feature
     # stages into a handful of partitions, serializing the window stages.
-    return (
+    builder = (
         SparkSession.builder.appName("afg-bench")
         .master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "UTC")
@@ -64,8 +64,15 @@ def get_spark(cores: int) -> SparkSession:
         )
         .config("spark.sql.warehouse.dir", "/tmp/afg_warehouse")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("AFG_SHUFFLE_TMPFS", "0") == "1":
+        # Shuffle spill on tmpfs: a real cluster's aggregate shuffle
+        # bandwidth scales with executor count; the sandbox's one local disk
+        # does not. Opt-in (A/B-measured) so the default stays the honest
+        # single-disk config.
+        os.makedirs("/dev/shm/afg_shuffle", exist_ok=True)
+        builder = builder.config("spark.local.dir", "/dev/shm/afg_shuffle")
+    return builder.getOrCreate()
 
 
 def materialize(df) -> None:

@@ -62,9 +62,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from engine.asof import _PAYLOAD, _TAG, _TS_KEY, _tagged_union
-from engine.cache import chain_checkpoint, tracked_persist
+from engine.cache import tracked_persist
 from engine.hotwin import hot_predicate
-from engine.tstools import epoch_micros
 from engine.window_ops import parse_duration_seconds
 
 _B = "__fx_b"
@@ -175,40 +174,47 @@ def fused_feature_chain(
             specs[f"__cq_{c}"] = F.col(c) * F.col(c)
     partials = list(specs)
 
-    # ---- carry-source slices: hot rows only in hybrid mode ---------------
-    if pred is None:
-        cp, cs = probes, state
-    else:
-        # tiny by the hot-key definition; persisted so the carry subtrees
-        # (asof carry, carry2, start offsets) never rescan the fact tables
-        cp = tracked_persist(probes.where(pred))
-        cs = tracked_persist(state.where(pred))
+    # ---- Exchange 1: one scan, one shuffle, both tags retained ----------
+    # The probe∪state union is hash-clustered by (entity, B) and sorted
+    # once; the in-bucket as-of resolution is computed for EVERY row (for a
+    # state row last(payload) up to itself is its own payload, so the
+    # overwrite is the identity on states). The result is persisted and
+    # feeds four consumers — the main probe chain, the per-bucket state
+    # carry, the bucket axis, and the hybrid hot branch — so the fact
+    # tables are scanned exactly once and no carry subtree rescans them
+    # (the previous design's hot-slice scans + second mini-pipeline were
+    # measured at ~0.5 scaling efficiency 4→16 cores: near-constant cost).
+    unioned, probe_cols = _tagged_union(
+        probes, state, keys, probe_ts, state_ts, values, out_names
+    )
+    unioned = unioned.withColumn(_B, bucket_of(F.col(_TS_KEY)))
+    tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
+    w_asof = (
+        Window.partitionBy(*keys, _B)
+        .orderBy(F.col(_TS_KEY).asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mid_all = tracked_persist(
+        unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_asof))
+    )
 
     # ---- as-of cross-bucket carry (tiny, broadcast) ---------------------
-    # Same construction as engine.asof._asof_bucketed: per-(entity, bucket)
-    # last state payload (max_by ties resolved identically), forward-filled
-    # over the union of probe and state bucket axes.
-    pay_expr = F.struct(
-        *[F.col(v).alias(n) for v, n in zip(values, out_names)],
-        F.col(state_ts).cast("timestamp").alias("__state_ts"),
+    # Per-(entity, bucket) last state payload (max_by — ties resolved as in
+    # engine.asof._asof_bucketed), forward-filled over the union of probe
+    # and state bucket axes. Hybrid mode restricts to hot entities: a cold
+    # row misses the carry join and coalesces to the no-earlier-bucket
+    # defaults, which is exactly its single-group semantics.
+    carry_src = mid_all if pred is None else mid_all.where(pred)
+    bucket_last = (
+        carry_src.where(F.col(_TAG) == 0)
+        .groupBy(*keys, _B)
+        .agg(
+            F.max_by(
+                F.col(_PAYLOAD), F.struct(F.col(_TS_KEY), F.col(_PAYLOAD))
+            ).alias("__fx_pay")
+        )
     )
-    st = cs.select(
-        *keys,
-        time_b(epoch_micros(state_ts)).alias(_B),
-        epoch_micros(state_ts).alias("__fx_sts"),
-        pay_expr.alias("__fx_pay"),
-    )
-    bucket_last = st.groupBy(*keys, _B).agg(
-        F.max_by(
-            F.col("__fx_pay"), F.struct(F.col("__fx_sts"), F.col("__fx_pay"))
-        ).alias("__fx_pay")
-    )
-    axis = (
-        cp.select(*keys, time_b(epoch_micros(probe_ts)).alias(_B))
-        .distinct()
-        .unionByName(bucket_last.select(*keys, _B))
-        .distinct()
-    )
+    axis = carry_src.select(*keys, _B).distinct()
     w_ff = (
         Window.partitionBy(*keys)
         .orderBy(F.col(_B))
@@ -219,16 +225,8 @@ def fused_feature_chain(
         .withColumn("__fx_carry", F.last("__fx_pay", ignorenulls=True).over(w_ff))
         .select(*keys, _B, "__fx_carry")
     )
-    if pred is not None:
-        asof_carry = tracked_persist(asof_carry)
 
-    # ---- Exchange 1 + same-exchange window pass -------------------------
-    tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
-    w_asof = (
-        Window.partitionBy(*keys, _B)
-        .orderBy(F.col(_TS_KEY).asc(), tie)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # ---- second window set over the as-of-resolved probe rows -----------
     w_rows = Window.partitionBy(*keys, _B).orderBy(F.col(_TS_KEY))
     w_range = w_rows.rangeBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy(*keys, _B)
@@ -244,26 +242,18 @@ def fused_feature_chain(
     for p, addend in specs.items():
         exprs.append(F.sum(addend).over(w_range).alias(f"__cum_{p}"))
 
-    probe_cols = probes.columns
-
-    def e1(p: DataFrame, s: DataFrame, always_bucketed: bool) -> DataFrame:
-        """Union → (entity, B)-clustered window pass → as-of-resolved
-        feature rows with rn / lags / session flag / in-bucket cums."""
-        unioned, pcols = _tagged_union(
-            p, s, keys, probe_ts, state_ts, values, out_names
-        )
-        b = time_b(F.col(_TS_KEY)) if always_bucketed else bucket_of(F.col(_TS_KEY))
-        unioned = unioned.withColumn(_B, b)
-        d = unioned.withColumn(
-            _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_asof)
-        ).where(F.col(_TAG) == 1)
+    def probe_chain(src: DataFrame) -> DataFrame:
+        """Cached rows → as-of-resolved feature rows with rn / lags /
+        session flag / in-bucket cums. Reads the mid_all cache; the windows
+        reuse its (entity, B) partitioning (sort only, no exchange)."""
+        d = src.where(F.col(_TAG) == 1)
         d = d.join(F.broadcast(asof_carry), on=[*keys, _B], how="left")
         pay = F.coalesce(F.col(_PAYLOAD), F.col("__fx_carry"))
         d = d.select(
             *keys,
             _B,
             _TS_KEY,
-            *[c for c in pcols if c not in keys],
+            *[c for c in probe_cols if c not in keys],
             *[pay.getField(n).alias(n) for n in out_names],
         )
         m = d.select("*", *exprs)
@@ -278,18 +268,13 @@ def fused_feature_chain(
             )
         return m
 
-    mid = e1(probes, state, always_bucketed=(pred is None))
-    if pred is None:
-        # The feature frame feeds the main chain AND the carry-2 aggregation;
-        # eager localCheckpoint materializes it ONCE (no broadcast-job race
-        # re-evaluating the upstream union) and truncates the logical plan.
-        mid = chain_checkpoint(mid, eager=True)
-        mid_c = mid
-    else:
-        # hybrid: carries aggregate over the HOT slices only — a second tiny
-        # E1 over the persisted cp/cs caches. The big `mid` stays a
-        # single-consumer linear plan: no checkpoint, no re-evaluation.
-        mid_c = e1(cp, cs, always_bucketed=True)
+    mid = probe_chain(mid_all)
+    # carry-2 source: in hybrid mode an explicit cheap re-window over the
+    # cached HOT rows only (the entity-level filter keeps window groups
+    # complete); plain mode re-windows the full cached frame — a second
+    # sorted pass over the cache instead of a checkpoint materialization.
+    # Either way `mid` itself stays a single-consumer linear plan.
+    mid_c = probe_chain(mid_all if pred is None else mid_all.where(pred))
 
     # ---- carry 2 (tiny, broadcast): per-bucket stats + K-row tails ------
     agg_exprs = [
@@ -356,10 +341,10 @@ def fused_feature_chain(
             F.when(n > k_max, F.slice(cat, n - k_max + 1, k_max)).otherwise(cat),
         )
         carry_cols.append("__prevk")
-    if pred is not None:
-        # consumed by the carry2 broadcast AND the E2 start-offset table —
-        # tiny; persisting avoids re-running the hot E1 per consumer
-        c2 = tracked_persist(c2)
+    # consumed by the carry2 broadcast AND the E2 start-offset table —
+    # tiny (|bucketed entities × active buckets|); persisting avoids
+    # re-running the carry window pass per consumer
+    c2 = tracked_persist(c2)
     carry2 = c2.select(*carry_cols)
 
     out = mid.join(F.broadcast(carry2), on=[*keys, _B], how="left")
