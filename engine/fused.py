@@ -194,9 +194,22 @@ def fused_feature_chain(
         .orderBy(F.col(_TS_KEY).asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mid_all = tracked_persist(
-        unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_asof))
+    mid_full = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_asof)
     )
+    # Persist ONLY what downstream consumers read: every probe row, plus (in
+    # hybrid mode) the hot rows that seed the carry tables. A COLD state row's
+    # whole job ends inside the window pass above — its payload has already
+    # been folded into the probe rows of its group, and the carries are built
+    # from hot slices only — so caching it is pure waste. At the bench's 5%
+    # hot fraction this shrinks the persisted mid-frame ~4x (80M rows -> 20M);
+    # the filter runs in the same stage as the window (no extra exchange) and
+    # preserves the (entity, B) hash partitioning + sort order for the
+    # downstream window reuse. Plain mode (hot_keys=None) keeps everything:
+    # there the carries are built from every entity's state rows.
+    if pred is not None:
+        mid_full = mid_full.where((F.col(_TAG) == 1) | pred)
+    mid_all = tracked_persist(mid_full)
 
     # ---- as-of cross-bucket carry (tiny, broadcast) ---------------------
     # Per-(entity, bucket) last state payload (max_by — ties resolved as in
