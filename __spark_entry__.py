@@ -410,6 +410,67 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(simhash(d), max_hamming=8)
 
 
+def q_simhash_pairs_md5(spark, sf_dir):
+    """SimHash near-dup pairs over the ENGINE-PORTABLE word hash (60-bit
+    md5 prefix): same Charikar kernel and pigeonhole blocking as
+    `simhash_pairs`, but the per-word hash is reproducible in ANSI SQL, so
+    this variant IS hash-exact against DuckDB (upgrades C5 from rows-only:
+    the oracle recomputes signatures bit-by-bit, the block keys, the
+    blocked self-join, and the Hamming verify)."""
+    from engine.corpus.dedup import simhash, simhash_md5_word_hash, simhash_near_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = simhash(d, bits=60, word_hash=simhash_md5_word_hash(60))
+    p = simhash_near_pairs(s, max_hamming=4, bits=60)
+    return p.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _simhash_md5_sql(bits: int = 60, max_hamming: int = 4) -> str:
+    """DuckDB oracle for q_simhash_pairs_md5 — generated, mirroring
+    engine/corpus/dedup.py exactly: 60-bit md5-prefix word hash (15-nibble
+    polynomial), per-bit majority votes, pigeonhole blocks
+    (blocks = max_hamming + 1, equal widths), blocked self-join, exact
+    bit_count(xor) verify."""
+    nibbles = bits // 4
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1) * {16 ** (nibbles - i)}"
+        for i in range(1, nibbles + 1)
+    )
+    blocks = max_hamming + 1
+    width = bits // blocks
+    assert bits % blocks == 0, (bits, blocks)
+    mask = (1 << width) - 1
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+),
+hashed AS (SELECT doc_id, ({poly}) AS h FROM words),
+votes AS (
+  SELECT doc_id, t.j,
+         SUM(CASE WHEN ((h >> t.j) & 1) = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, range({bits}) t(j)
+  GROUP BY doc_id, t.j
+),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sim
+  FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, sim, t.block_id,
+         (sim >> ({width} * t.block_id)) & {mask} AS block_val
+  FROM sig, range({blocks}) t(block_id)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+FROM blocks a
+JOIN blocks b ON a.block_id = b.block_id AND a.block_val = b.block_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from engine.corpus.similarity import embedding_near_dup_pairs
 
@@ -592,6 +653,7 @@ SELECT id_a, id_b, jaccard FROM (
   FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b) t
 WHERE jaccard >= 0.8
 """,
+        "simhash_pairs_md5": _simhash_md5_sql(bits=60, max_hamming=4),
         "embedding_near_dup": f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT id_a, id_b, cos FROM (
@@ -1147,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "ann_topk": q_ann_topk,

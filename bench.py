@@ -48,7 +48,7 @@ def get_spark(cores: int) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         # derby metastore + warehouse pinned to /tmp so the bucketed
         # sequences table registration is shared by both scaling legs and
         # never lands in the repo working tree.
@@ -57,9 +57,16 @@ def get_spark(cores: int) -> SparkSession:
         # collects garbage with ~20 parallel GC threads — free parallelism a
         # real 4-core executor does not have, which deflates measured
         # scaling efficiency on allocation-heavy stages.
+        # -Xmn24g: ParallelGC ergonomics sized the young gen so small that
+        # this allocation-heavy columnar workload young-GC'd every ~1s with
+        # ~260 ms pauses (measured: 66 s of GC pause per 320 s of wall, 40
+        # Full GCs, heap thrashing 13G->5G). A fixed 24g young gen lets
+        # shuffle/window scratch die young: 97 pauses instead of 261 and a
+        # 68.5 s -> 46.4 s best-rep flagship at local[16] in the A/B
+        # (G1 measured 61.0 s — lowest pauses but pays concurrent-cycle CPU).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores} "
+            f"-XX:+UseParallelGC -Xmn24g -XX:ActiveProcessorCount={cores} "
             "-Dderby.system.home=/tmp/afg_derby",
         )
         .config("spark.sql.warehouse.dir", "/tmp/afg_warehouse")
@@ -98,11 +105,16 @@ HOT_PCT = int(os.environ.get("AFG_BENCH_HOT_PCT", "5"))
 # plain-parquet token join scales at ~0.32 efficiency 4→16 cores (17 GB
 # through the single local shuffle disk) while the window chain scales at
 # ~0.85; co-locating by layout is exactly what a 100 TB deployment does.
-SEQ_BUCKETS = 64
+# 128 buckets = the pinned shuffle width: the bucketed join's parallelism
+# is capped at the bucket count, and 64 buckets gave the 16-core leg only
+# 4 task waves — bucket-size skew then leaves cores idle in the last wave
+# (measured cold-join scaling 0.66; a deployment sizes bucket count to
+# cluster parallelism for the same reason).
+SEQ_BUCKETS = 128
 
 
 def _seq_table(n_docs: int) -> str:
-    return f"afg_seqs_{n_docs}_h{HOT_PCT}"
+    return f"afg_seqs_{n_docs}_h{HOT_PCT}_b{SEQ_BUCKETS}"
 
 
 def read_sequences(spark, root: str, n_docs: int):
@@ -133,7 +145,7 @@ def ensure_corpus(spark, n_docs: int) -> str:
 
     from engine.datagen import gen_probes, gen_seq_events, gen_sequences
 
-    root = os.path.join(CORPUS_ROOT, f"{n_docs}_h{HOT_PCT}")
+    root = os.path.join(CORPUS_ROOT, f"{n_docs}_h{HOT_PCT}_b{SEQ_BUCKETS}")
     done = os.path.join(root, "_DONE")
     if not os.path.exists(done):
         spark.sql(f"DROP TABLE IF EXISTS {_seq_table(n_docs)}")
@@ -310,7 +322,7 @@ def run_bench(cores: int) -> dict:
         # pause or page-cache miss is a 15% swing — with 2 reps that noise
         # regularly produced spurious anti-scaling rows in the 4-vs-16 table)
         reps_q = []
-        for _ in range(3):
+        for _ in range(int(os.environ.get("AFG_QUERY_REPS", "3"))):
             _isolate()
             reps_q.append(timed(lambda n=n: materialize(qs[n](spark, SF_DIR))))
         results[n] = min(reps_q)
@@ -375,18 +387,28 @@ def run_bench(cores: int) -> dict:
     # measurement (steady-state engine work, no cross-run cache reuse)
     out, src_stats = flagship_pipeline(spark, root, strategy="hybrid", hot_keys=hot_keys)
     materialize(out)
+    materialize(src_stats)
 
     def run_once():
         # release the previous rep's tracked persists (bucketed as-of / hot
         # chain) AND the bench-level persists, so each rep pays its own
         # materializations and the heap starts clean
+        from concurrent.futures import ThreadPoolExecutor
+
         from engine import cache as _c
 
         _c.release_all()
         spark.catalog.clearCache()
         o, s = flagship_pipeline(spark, root, strategy="hybrid", hot_keys=hot_keys)
-        materialize(o)
-        materialize(s)
+        # The two sinks are independent consumers of the persisted feature
+        # frame — submit them concurrently (standard Spark practice): the
+        # stats job's stages fill the scheduling/AQE-replanning gaps and
+        # stage tails of the token join instead of running after them.
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(materialize, o)
+            f2 = ex.submit(materialize, s)
+            f1.result()
+            f2.result()
         return o
 
     # best-of-4: the shared sandbox has high run-to-run variance (GC, page

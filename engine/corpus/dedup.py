@@ -207,18 +207,26 @@ def ngram_jaccard_pairs(
 
 def simhash(
     df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64,
+    word_hash: str | None = None,
 ) -> DataFrame:
-    """Charikar SimHash: 64-bit signature where bit j is the sign of the
-    sum over words of (2*bit_j(xxhash64(word)) - 1). Near-dups have small
+    """Charikar SimHash: ``bits``-bit signature where bit j is the sign of
+    the sum over words of (2*bit_j(hash(word)) - 1). Near-dups have small
     Hamming distance.
 
     One SQL higher-order ``aggregate`` with an array<long> accumulator —
     a single pass over the word array per row, pure JVM, no shuffle.
     (Python ``F.shiftrightunsigned`` only takes literal shift amounts, so
-    the kernel is a SQL expression where the shift is the lambda index.)"""
+    the kernel is a SQL expression where the shift is the lambda index.)
+
+    ``word_hash``: SQL expression for the per-word hash over lambda var
+    ``w`` (default ``xxhash64(w)`` — fastest, JVM-only). The md5-prefix
+    variant ``simhash_md5_word_hash(60)`` is engine-portable (DuckDB
+    computes the identical polynomial), enabling a hash-exact oracle; use
+    it with ``bits≤60`` so the value stays in a signed long."""
+    wh = word_hash or "xxhash64(w)"
     packed = F.expr(f"""
 aggregate(
-  transform(split(trim(lower({text_col})), '\\\\s+'), w -> xxhash64(w)),
+  transform(split(trim(lower({text_col})), '\\\\s+'), w -> {wh}),
   array_repeat(0L, {bits}),
   (acc, h) -> zip_with(acc, sequence(0L, {bits - 1}L),
       (a, j) -> a + CASE WHEN (shiftrightunsigned(h, cast(j as int)) % 2) != 0
@@ -228,6 +236,17 @@ aggregate(
       0L, (x, y) -> x | y)
 )""")
     return df.withColumn(out, packed)
+
+
+def simhash_md5_word_hash(bits: int = 60) -> str:
+    """Engine-portable per-word hash for :func:`simhash`: the first
+    ``bits/4`` hex chars of md5(word) parsed as an integer. 60 bits (15
+    nibbles) keeps the value strictly below 2^60, inside a signed 64-bit
+    long in every engine — no unsigned-overflow edge to reconcile. Spark
+    parses via ``conv(hex, 16, 10)``; a SQL oracle can reproduce it with a
+    per-nibble polynomial (see ``__spark_entry__._simhash_md5_sql``)."""
+    assert bits % 4 == 0 and bits <= 60, bits
+    return f"cast(conv(substring(md5(w), 1, {bits // 4}), 16, 10) as bigint)"
 
 
 def _simhash_block_values(sim_col: str, blocks: int, bits: int = 64) -> list[Column]:

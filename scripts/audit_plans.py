@@ -115,6 +115,36 @@ def main() -> None:
         max_exchanges=1,
     ))
 
+    # Fused feature chain (engine/fused.py): the whole as-of + lag +
+    # sessionize + rolling pipeline in TWO fact-scale exchanges. The carry
+    # tables add a handful of exchanges, but each runs over the aggregated
+    # |entities x buckets| frame (tiny) — assert the total stays bounded and
+    # that the mid-frame cache is actually reused (InMemoryTableScan) instead
+    # of duplicating the fact subtree per consumer.
+    from engine.fused import fused_feature_chain
+
+    fz = fused_feature_chain(
+        probes, state, on="user_id", probe_ts="ts", state_ts="ts",
+        values=["value"], suffix="_last",
+        lag_cols=["value_last"], lags=[1], session_gap="30 minutes",
+        rolling={"value_last": ["count", "sum"]}, rolling_window="1 hour",
+        bucket="6 hours", hot_keys=[0, 1, 2],
+    )
+    fz_plan = plan_of(fz)
+    assert "InMemoryTableScan" in fz_plan, "fused chain lost its mid-frame cache"
+    secs.append(section(
+        "Fused feature chain (hybrid hot/cold, two fact-scale exchanges)",
+        "as-of + lag + sessionize + 1h prefix rolling compiled together: the "
+        "fact rows cross exactly two wide exchanges (the (entity, bucket) "
+        "union shuffle and the rolling-cutoff resolution); every other "
+        "exchange below operates on the per-(entity, bucket) carry frames "
+        "(|entities x active buckets| rows, broadcast back). The persisted "
+        "mid-frame shows up as InMemoryTableScan for all four consumers — "
+        "hard-asserted, along with the exchange cap.",
+        fz,
+        max_exchanges=8,
+    ))
+
     orders = read_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
     cust = read_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
     nation = read_table(spark, SF, "nation")
