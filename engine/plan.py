@@ -154,6 +154,56 @@ def _lower_agg_features(df, plan, p, tables):
 # ops whose plain lowering serializes a hot entity into one window task
 _PER_ENTITY_OPS = {"asof", "lag", "ffill", "sessionize", "rolling", "cumulative"}
 
+# ---- whole-pipeline fusion (engine.fused) ---------------------------------
+_FUSE_ORDER = {"asof": 0, "lag": 1, "sessionize": 2, "rolling": 3}
+_FUSE_DECOMP = {"count", "sum", "avg", "mean", "stddev"}
+
+
+def _fused_split(plan: "FeaturePlan"):
+    """``(n_fused, kwargs)`` when the plan's leading window steps form the
+    asof → lag? → sessionize? → rolling? pattern ``fused_feature_chain``
+    compiles to two wide exchanges, and NO per-entity step follows them —
+    else ``None`` (the per-op hot/cold split below stays the fallback).
+
+    Disqualifiers: ``lag`` with leads (the fused carry tails are
+    backward-only), non-decomposable rolling aggs (min/max need the frame
+    method), any trailing window-family step (it would reintroduce the
+    per-entity skew the fusion just removed). The asof step's ``strategy``
+    param is a physical choice and is ignored — the fused plan IS the
+    physical strategy."""
+    run, last = 0, -1
+    for s in plan.steps:
+        o = _FUSE_ORDER.get(s.op)
+        if o is None or o <= last:
+            break
+        last = o
+        run += 1
+    if run == 0 or plan.steps[0].op != "asof":
+        return None
+    if any(s.op in _PER_ENTITY_OPS for s in plan.steps[run:]):
+        return None
+    kw: dict[str, Any] = {}
+    for s in plan.steps[:run]:
+        p = s.params
+        if s.op == "asof":
+            kw.update(
+                state_name=p["state"], state_ts=p.get("state_ts", "ts"),
+                values=p.get("values"), suffix=p.get("suffix", ""),
+                strict=p.get("strict", False),
+            )
+        elif s.op == "lag":
+            if p.get("leads"):
+                return None
+            kw.update(lag_cols=list(p["cols"]), lags=list(p.get("lags", [1])))
+        elif s.op == "sessionize":
+            kw.update(session_gap=p.get("gap", "30 minutes"))
+        elif s.op == "rolling":
+            aggs = p["aggs"]
+            if not all(n in _FUSE_DECOMP for ns in aggs.values() for n in ns):
+                return None
+            kw.update(rolling=aggs, rolling_window=p["window"])
+    return run, kw
+
 
 def _is_split_barrier(plan: "FeaturePlan", step: Step) -> bool:
     """True for steps that must see the WHOLE frame, not a hot/cold branch.

@@ -84,6 +84,47 @@ def detect_hot_keys(
     return rows
 
 
+def straggler_hot_keys(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    total_rows: int,
+    cores: int,
+    spill_floor: int = 1_000_000,
+    max_keys: int = 10_000,
+    sample_fraction: float | None = None,
+) -> list:
+    """Hot keys that would actually STRAGGLE a per-entity window plan — the
+    cost-based routing condition for the hybrid/fused skew split.
+
+    A key only hurts the makespan when its single serial task outlasts the
+    rest of the job, so bucketing it must clear BOTH bars
+    (``cnt > max(spill_floor, total_rows / (8 * cores))``):
+
+    * ``cnt > spill_floor`` — the absolute cliff, and the binding term at
+      single-node scales: a single-task sort of ~1M+ rows leaves the
+      in-memory sorter and starts spilling, at which point its per-row cost
+      is several × the parallel tasks' (measured both ways: a 250k-row hot
+      key at 500k docs / 32 cores made the hybrid plan 3× SLOWER than the
+      naive chain it was protecting — pure fixed cost, nothing to save —
+      while a 4M-row hot task at 8M docs measurably straggled the 16-core
+      leg by ~1.5× even though it held only ~80 % of the per-core share).
+    * ``cnt > total_rows / (8 * cores)`` — the makespan guard for large
+      clusters: on 1000 cores a key can clear the spill floor yet still be
+      a rounding error against hours of parallel work; splitting it buys
+      nothing, so don't. The slack factor 8 reflects the spill-driven
+      per-row cost multiplier above: a serial task at ~1/8 of the ideal
+      core share already runs at wall-clock parity with it.
+
+    Returns the same shape as ``detect_hot_keys``. An empty list is the
+    correct result for "no key can straggle here" — the fused chain
+    degenerates to the plain single-window plan on it.
+    """
+    thr = max(int(spill_floor), total_rows // (8 * max(1, int(cores))))
+    return detect_hot_keys(
+        df, keys, thr + 1, max_keys=max_keys, sample_fraction=sample_fraction
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -140,22 +181,17 @@ def hot_broadcast_join(
     return cold.unionByName(hot)
 
 
-def two_level_agg(
-    df: DataFrame,
-    keys: str | Sequence[str],
+def _decompose_aggs(
     agg_specs: dict[str, Sequence[str]],
-    buckets: int = 16,
-    unique_col: str | None = None,
-) -> DataFrame:
-    """Skew-proof groupBy: partial agg on (key, salt) → final merge on key.
+) -> tuple[list, list]:
+    """(partials, finals) for a two-phase decomposable aggregation.
 
-    ``agg_specs`` maps column → aggregates among {count,sum,avg,min,max,stddev}.
-    Output column names: ``{col}_{fn}`` (count over a column counts non-nulls,
-    matching SQL COUNT(col)).
+    sum/count/min/max compose exactly; avg/stddev are derived from
+    (sum, sum of squares, count) so the merged result is bit-for-bit the
+    algebraic formula. Shared by ``two_level_agg`` (partial key = (key, salt))
+    and ``dim_grouped_agg`` (partial key = the join key): the merge step is
+    identical either way.
     """
-    keylist = _as_list(keys)
-    salted = with_salt(df, buckets, unique_col=unique_col)
-
     partials, finals = [], []
     for c, fns in agg_specs.items():
         need = set(fns)
@@ -190,6 +226,57 @@ def two_level_agg(
                 .otherwise(F.lit(None))
                 .alias(f"{c}_stddev")
             )
+    return partials, finals
 
+
+def two_level_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    agg_specs: dict[str, Sequence[str]],
+    buckets: int = 16,
+    unique_col: str | None = None,
+) -> DataFrame:
+    """Skew-proof groupBy: partial agg on (key, salt) → final merge on key.
+
+    ``agg_specs`` maps column → aggregates among {count,sum,avg,min,max,stddev}.
+    Output column names: ``{col}_{fn}`` (count over a column counts non-nulls,
+    matching SQL COUNT(col)).
+    """
+    keylist = _as_list(keys)
+    salted = with_salt(df, buckets, unique_col=unique_col)
+    partials, finals = _decompose_aggs(agg_specs)
     partial = salted.groupBy(*keylist, _SALT).agg(*partials)
     return partial.groupBy(*keylist).agg(*finals)
+
+
+def dim_grouped_agg(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    group_keys: str | Sequence[str],
+    agg_specs: dict[str, Sequence[str]],
+    how: str = "left",
+) -> DataFrame:
+    """Group fact rows by an attribute that lives on a DIMENSION table —
+    ``SELECT d.attr, agg(f.x) FROM fact f JOIN dim d USING (k) GROUP BY
+    d.attr`` — without ever shuffling the fact rows through the join.
+
+    The naive plan shuffles every fact row to the join, then shuffles the
+    joined rows again for the group-by, and a hot join key piles its rows
+    onto one reducer twice. Here the fact side is pre-aggregated at the JOIN
+    key's grain first: the partial group-by's map-side combine collapses each
+    key — including an arbitrarily hot one — to one row per input partition,
+    so the shuffle carries ~|keys| rows, the join touches ≤ |dim| rows per
+    side, and the final merge on the dim attribute is tiny. No salting is
+    needed anywhere: post-aggregation a hot key IS one row. (With a bucketed
+    ``dim``, the join additionally co-locates on the dim's layout.)
+
+    Same ``agg_specs`` / output-name contract as ``two_level_agg``
+    ({col}_{fn}); inner/left ``how`` controls whether fact keys missing from
+    the dim are kept (grouped under the dim attribute's NULL).
+    """
+    keylist = _as_list(on)
+    groups = _as_list(group_keys)
+    partials, finals = _decompose_aggs(agg_specs)
+    per_key = fact.groupBy(*keylist).agg(*partials)
+    return per_key.join(dim, on=keylist, how=how).groupBy(*groups).agg(*finals)

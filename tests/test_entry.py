@@ -13,8 +13,8 @@ def test_oracle_keys_subset():
     assert rows_only == {
         "flagship_sequences",   # synthetic corpus, pandas-oracle-tested
         "simhash_pairs",        # xxhash64 has no DuckDB analogue
-        "multimodal_decode",    # synthetic binary payloads, stub decoder
-        "approx_distinct",      # HLL++ sketch estimates are engine-specific
+        # (r3: multimodal_decode + approx_distinct were upgraded to
+        # hash-exact — sha256 reconstruction / in-query bound assertion)
     }, rows_only
 
 

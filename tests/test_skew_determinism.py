@@ -72,6 +72,53 @@ def test_pipeline_deterministic(spark, seq_fixtures):
     assert_frames_allclose(run(), run())
 
 
+def test_dim_grouped_agg_equals_join_then_group(spark):
+    """dim_grouped_agg (pre-agg at join-key grain → dim join → merge) must
+    equal the naive join-then-groupBy exactly, including: a hot fact key,
+    NULL fact values (count semantics), and fact keys missing from the dim
+    (grouped under the NULL attribute with how='left')."""
+    from engine.skew import dim_grouped_agg
+
+    ev = gen_seq_events(spark, n_docs=40, seed=11, hot_frac_pct=50, partitions=4)
+    # dim misses half the doc_ids → exercises the left-join NULL group
+    dim = gen_sequences(spark, 20, seed=11).select("doc_id", "source")
+    got = dim_grouped_agg(
+        ev, dim, on="doc_id", group_keys="source",
+        agg_specs={"fvalue": ["count", "sum", "avg", "min", "max", "stddev"]},
+    ).toPandas()
+    want = (
+        ev.join(dim, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("fvalue").alias("fvalue_count"),
+            F.sum("fvalue").alias("fvalue_sum"),
+            F.avg("fvalue").alias("fvalue_avg"),
+            F.min("fvalue").alias("fvalue_min"),
+            F.max("fvalue").alias("fvalue_max"),
+            F.stddev("fvalue").alias("fvalue_stddev"),
+        )
+        .toPandas()
+    )
+    assert_frames_allclose(got, want, rtol=1e-9)
+
+
+def test_straggler_hot_keys_cost_condition(spark):
+    """Routing is cost-based: a key below the spill floor / makespan bar is
+    NOT routed even if it dominates the (small) input; scaled thresholds
+    route it once the absolute floor is cleared."""
+    from engine.skew import straggler_hot_keys
+
+    ev = gen_seq_events(spark, n_docs=40, seed=11, hot_frac_pct=50, partitions=4)
+    n = ev.count()
+    # small input: hot key holds ~50% of rows but can't straggle anything
+    assert straggler_hot_keys(ev.select("doc_id"), "doc_id", n, cores=4) == []
+    # same distribution, floor lowered to simulate scale: now routed
+    routed = straggler_hot_keys(
+        ev.select("doc_id"), "doc_id", n, cores=4, spill_floor=50
+    )
+    assert routed == ["doc000000000000"]
+
+
 def test_hot_broadcast_join_equals_plain_join(spark):
     """hot_broadcast_join must equal the plain join exactly — hot keys are a
     routing choice, never a semantic one (including unmatched left rows)."""
