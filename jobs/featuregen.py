@@ -103,18 +103,20 @@ def main(argv=None):
 
     hot_keys = None
     if args.asof_strategy == "hybrid":
-        # per-input metadata, detected once (sampled partial-agg count);
-        # routing a borderline key either way is a performance choice only
-        from engine.skew import detect_hot_keys
+        # per-input metadata, detected once (sampled partial-agg count).
+        # Cost-based (r3): a key is only routed to the time-bucketed plan
+        # when its serial window task would actually straggle the job —
+        # below that bar the fused plan degenerates to the plain chain,
+        # which is faster (the hybrid machinery's fixed costs are real).
+        from engine.skew import straggler_hot_keys
 
         n = probes.count() + state.count()
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        thr = max(10_000, (4 * n) // max(parts, 1))
-        hot_keys = detect_hot_keys(
-            probes.select(entity).unionByName(state.select(entity)), entity, thr,
+        hot_keys = straggler_hot_keys(
+            probes.select(entity).unionByName(state.select(entity)), entity, n,
+            cores=spark.sparkContext.defaultParallelism,
             sample_fraction=0.05 if n > 1_000_000 else None,
         )
-        print(f"hot keys detected: {len(hot_keys)} (threshold {thr})")
+        print(f"hot keys routed (straggler condition): {len(hot_keys)}")
 
     io = ParquetJournalTableIO(args.output, extra_partition_cols=args.output_partition_by)
     mgr = CheckpointManager(io, args.partitions)

@@ -145,6 +145,32 @@ def main() -> None:
         max_exchanges=8,
     ))
 
+    # Production lowering (r3): the SAME fused shape must come out of the
+    # FeaturePlan IR — jobs/featuregen.py --asof-strategy hybrid lowers
+    # through engine.plan.lower, which pattern-matches the
+    # asof→lag→sessionize→rolling prefix onto fused_feature_chain.
+    from engine.plan import FeatureEngine
+
+    lowered = (
+        FeatureEngine(probes, entity="user_id", ts="ts")
+        .asof(state, values=["value"], suffix="_last")
+        .lag(["value_last"], lags=[1])
+        .sessionize("30 minutes")
+        .rolling({"value_last": ["count", "sum"]}, "1 hour", method="prefix")
+        .to_df(hot_keys=[0, 1, 2], bucket="6 hours")
+    )
+    lowered_plan = plan_of(lowered)
+    assert "InMemoryTableScan" in lowered_plan, "plan lowering lost the fused mid-frame cache"
+    secs.append(section(
+        "FeaturePlan hybrid lowering (production path = fused chain)",
+        "The identical pipeline expressed through the FeaturePlan IR "
+        "(what `jobs/featuregen.py --asof-strategy hybrid` runs) lowers to "
+        "the SAME two-fact-scale-exchange fused plan — hard-asserted at the "
+        "same exchange cap as the direct call above.",
+        lowered,
+        max_exchanges=8,
+    ))
+
     orders = read_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
     cust = read_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
     nation = read_table(spark, SF, "nation")
@@ -165,6 +191,43 @@ def main() -> None:
         "Two HashAggregate pairs (partial+final per level); the first level "
         "keys on (source, salt) so a hot source spreads across tasks.",
         s,
+    ))
+
+    # dim_grouped_agg (r3): grouping fact rows by a dim attribute must NOT
+    # shuffle the fact rows through the join — the plan shows the fact-side
+    # HashAggregate pair BELOW the join (partial agg at join-key grain with
+    # map-side combine), so the join's left input is ~|keys| rows.
+    from engine.skew import dim_grouped_agg
+
+    ords = read_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    custd = read_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    dga = dim_grouped_agg(
+        ords, custd, on="o_custkey", group_keys="c_mktsegment",
+        agg_specs={"o_totalprice": ["count", "sum", "avg"]},
+    )
+    dga_plan = plan_of(dga)
+    # the fact scan's exchange must be an aggregate output, not raw rows:
+    # HashAggregate appears before (below) the first join in plan order
+    first_join = min(
+        [m.start() for m in re.finditer(r"\(\d+\) (SortMergeJoin|BroadcastHashJoin)", dga_plan)]
+        or [len(dga_plan)]
+    )
+    first_agg = min(
+        [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", dga_plan)]
+        or [len(dga_plan)]
+    )
+    assert first_agg < first_join, "dim_grouped_agg joined raw fact rows"
+    secs.append(section(
+        "Dim-attribute aggregation via join-key pre-agg (dim_grouped_agg)",
+        "`SELECT d.attr, agg(f.x) ... GROUP BY d.attr` without shuffling "
+        "fact rows: the fact side pre-aggregates at the join key's grain "
+        "(map-side combine collapses a hot key to ~1 row per partition — "
+        "hard-asserted: HashAggregate sits below the join), the ~|keys|-row "
+        "partial frame joins the dim, and the per-attribute merge is tiny. "
+        "This is the flagship's per-source-stats plan.",
+        dga,
     ))
 
     # P4: partitioned layout → directory-level pruning. This section is a

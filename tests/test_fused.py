@@ -151,6 +151,77 @@ def fused_chain_hybrid(probes, ev, bucket, hot_keys, window=WIN, gap=GAP):
     )
 
 
+def test_plan_lowering_routes_through_fused(sides):
+    """FeaturePlan hybrid lowering (engine.plan.lower hot_keys=...) compiles
+    the asof→lag→sessionize→rolling pattern to the fused chain: results
+    equal the plain lowering, and the physical plan carries the fused
+    shape's exchange budget instead of the per-op hot branch's ~10."""
+    from engine.plan import FeatureEngine
+
+    probes, ev = sides
+
+    def build():
+        return (
+            FeatureEngine(probes, entity="doc_id", ts="asof_ts")
+            .asof(ev, values=["fvalue", "fcat"], suffix="_last")
+            .lag(["fvalue_last"], lags=[1, 2])
+            .sessionize(GAP)
+            .rolling({"fvalue_last": ["count", "sum", "avg"]}, WIN, method="prefix")
+        )
+
+    plain = build().to_df()
+    hybrid = build().to_df(hot_keys=[HOT], bucket="6 hours")
+    assert_equal(plain, hybrid)
+    # plan shape: the lowering must emit EXACTLY the fused plan (same real
+    # exchange count as calling fused_feature_chain directly — counted like
+    # scripts/audit_plans.py on formatted detail headers, so reused subtrees
+    # aren't double-counted), and strictly fewer than the per-op two-branch
+    # fallback it replaces. Absolute caps live in the plan audit, which runs
+    # on uncached parquet inputs.
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    def n_ex(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"^\(\d+\) Exchange\b", buf.getvalue(), re.M))
+
+    direct = fused_chain_hybrid(probes, ev, "6 hours", hot_keys=[HOT])
+    lowered = build().to_df(hot_keys=[HOT], bucket="6 hours")
+    from engine.plan import _fused_split
+
+    assert _fused_split(build().plan) is not None
+    assert n_ex(lowered) == n_ex(direct), (n_ex(lowered), n_ex(direct))
+
+
+def test_plan_lowering_fused_fallback_on_leads(sides):
+    """A lag step with leads can't fuse (carries are backward-only): the
+    lowering must fall back to the per-op hot/cold split, still correct."""
+    from engine.plan import FeatureEngine
+
+    probes, ev = sides
+
+    def build():
+        return (
+            FeatureEngine(probes, entity="doc_id", ts="asof_ts")
+            .asof(ev, values=["fvalue", "fcat"], suffix="_last")
+            .lag(["fvalue_last"], lags=[1], leads=[1])
+        )
+
+    plain = build().to_df().toPandas()
+    hybrid = build().to_df(hot_keys=[HOT], bucket="6 hours").toPandas()
+    key = ["doc_id", "asof_ts", "probe_id"]
+    a = plain.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = hybrid[plain.columns].sort_values(key, kind="mergesort").reset_index(drop=True)
+    for c in plain.columns:
+        if a[c].dtype.kind in "fiu":
+            assert np.allclose(
+                a[c].astype(float), b[c].astype(float), equal_nan=True
+            ), c
+
+
 def test_fused_no_state_rows(sides, spark):
     """Probes with an empty state side: all as-of values null, lags null,
     sessions and rolling still defined over the probe frame."""
