@@ -52,8 +52,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     duplicated millions of times cannot pile its full-text copies into one
     hash-keyed task; the keeper table itself is hash-keyed but carries only
     (hash, keeper_id, n_copies) — skew there is byte-cheap."""
+    from engine.io import ensure_min_parallelism
+
     ids = tracked_persist(
-        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
     )
     keepers = ids.groupBy("content_hash").agg(
         F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
@@ -73,8 +76,11 @@ def shingle_table(
     per-row cost of the whole near-dup pipeline (MinHash signatures AND the
     Jaccard verify read it), so compute it once per corpus pass. Tracked:
     ``engine.cache.release_all()`` drops it after the pipeline's sink."""
+    from engine.io import ensure_min_parallelism
+
     return tracked_persist(
-        df.select(F.col(id_col), shingles(F.col(text_col), n).alias(out))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias(out))
     )
 
 
@@ -223,6 +229,9 @@ def simhash(
     variant ``simhash_md5_word_hash(60)`` is engine-portable (DuckDB
     computes the identical polynomial), enabling a hash-exact oracle; use
     it with ``bits≤60`` so the value stays in a signed long."""
+    from engine.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     wh = word_hash or "xxhash64(w)"
     packed = F.expr(f"""
 aggregate(
@@ -268,7 +277,7 @@ def _simhash_block_values(sim_col: str, blocks: int, bits: int = 64) -> list[Col
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", sim_col: str = "simhash",
     max_hamming: int = 3, blocks: int | None = None, key_blocks: int = 1,
-    bits: int = 64,
+    bits: int = 64, hot_bucket_rows: int = 1024, salt_buckets: int = 16,
 ) -> DataFrame:
     """Hamming-distance blocking with an EXACT pigeonhole recall guarantee
     (Manku, Jain & Sarma 2007 "Detecting near-duplicates for web crawling").
@@ -315,18 +324,55 @@ def simhash_near_pairs(
         .select(id_col, sim_col, "b.block_id", "b.block_val")
     )
     b = tracked_persist(b)  # feeds both sides of the self-join; simhash scan runs once
-    l, r = b.alias("l"), b.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.block_id") == F.col("r.block_id"))
-            & (F.col("l.block_val") == F.col("r.block_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+
+    # The blocked self-join evaluates ~Σ n_bucket² candidate pairs, and an
+    # equi-join keys a whole bucket to ONE task — a giant real-near-dup
+    # cluster (measured on the sf0.1 fixture: one 2072-doc bucket → ~4.3M
+    # pair evaluations in a single task) serializes the query and makes it
+    # ANTI-scale with cores (round-2 verdict #6). Split by bucket size: hot
+    # buckets (≥ hot_bucket_rows block entries) go through the salted
+    # self-join (left salted by id hash, right replicated ``salt_buckets``
+    # ways — the same pairs, spread over salt_buckets tasks); the long tail
+    # keeps the plain equi-join. The hot-key list is bounded by
+    # |b| / hot_bucket_rows, so the collect is metadata-sized at any scale.
+    rb = b.select(
+        F.col(id_col).alias("__id_r"), F.col(sim_col).alias("__sim_r"),
+        "block_id", "block_val",
+    )
+    join_keys = ["block_id", "block_val"]
+    hot_rows = (
+        b.groupBy(*join_keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= hot_bucket_rows)
+        .select(*join_keys)
+        .limit(100_000)
+        .collect()
+    )
+    if hot_rows:
+        from engine.skew import salted_join
+
+        sep = "\x1f"
+        pk = F.concat_ws(
+            sep, F.col("block_id").cast("string"), F.col("block_val")
         )
+        hot_set = [f"{r['block_id']}{sep}{r['block_val']}" for r in hot_rows]
+        pred = pk.isin(hot_set)
+        joined = b.where(~pred).join(rb.where(~pred), join_keys).unionByName(
+            salted_join(
+                b.where(pred), rb.where(pred), on=join_keys,
+                buckets=salt_buckets, fact_unique_col=id_col,
+            )
+        )
+    else:
+        joined = b.join(rb, join_keys)
+    return (
+        joined.where(F.col(id_col) < F.col("__id_r"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}"))).alias("hamming"),
+            F.col(id_col).alias("id_a"),
+            F.col("__id_r").alias("id_b"),
+            F.bit_count(
+                F.col(sim_col).bitwiseXOR(F.col("__sim_r"))
+            ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()

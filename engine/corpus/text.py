@@ -49,6 +49,9 @@ def bpe_tokens(c: Column) -> Column:
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_ws_tokens (whitespace), n_bpe_tokens (regex), n_unique_words."""
+    from engine.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     return (
         df.withColumn("n_ws_tokens", F.size(words(c)))
@@ -69,8 +72,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> Da
     per word; argmax with fixed precedence (LANGS order) on ties, 'und' when
     all scores are zero. Pure JVM expressions -> identical in the DuckDB
     oracle (same CASE chain)."""
+    from engine.io import ensure_min_parallelism
+
     c = F.col(text_col)
-    scored = df
+    scored = ensure_min_parallelism(df)
     for lang in LANGS:
         scored = scored.withColumn(f"_sw_{lang}", _stopword_hits(c, lang))
     best = F.greatest(*[F.col(f"_sw_{l}") for l in LANGS])
@@ -92,6 +97,9 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
       quality    = round(0.4*len_score + 0.3*sw_score
                          + 0.3*greatest(0, 1 - punct_pen - digit_pen), 6)
     """
+    from engine.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     n_chars = F.length(c).cast("double")
     n_words = F.size(words(c)).cast("double")
@@ -131,6 +139,9 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 plus a rolling min-hash over
     3-word shingles (= MinHash with k=1) — the cheap near-dup prefilter.
     Both are md5-hex based, so the DuckDB oracle is bit-identical."""
+    from engine.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     c = F.col(text_col)
     return df.withColumn("md5_full", F.md5(c)).withColumn(
         "shingle_minhash", F.array_min(F.transform(shingles(c), F.md5))

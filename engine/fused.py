@@ -95,6 +95,8 @@ def fused_feature_chain(
     rolling_window: str | int | float = "1 day",
     bucket: str | int | float = "6 hours",
     hot_keys: Sequence | None = None,
+    ffill_cols: Sequence[str] = (),
+    ffill_suffix: str = "_ffill",
 ) -> DataFrame:
     """Fused feature chain over ``probes`` against ``state``.
 
@@ -102,6 +104,7 @@ def fused_feature_chain(
 
         f = asof_join(probes, state, on, probe_ts, state_ts, values,
                       strict=strict, suffix=suffix)           # any strategy
+        f = forward_fill(f, on, probe_ts, ffill_cols, ffill_suffix)  # W1
         f = lag_features(f, on, probe_ts, lag_cols, lags=lags)
         f = sessionize(f, on, probe_ts, gap=session_gap)      # if gap given
         f = rolling_aggregates(f, on, probe_ts, rolling,
@@ -110,6 +113,12 @@ def fused_feature_chain(
     but compiled to two wide shuffles total. ``lag_cols`` name columns AFTER
     the as-of suffix is applied (e.g. ``fvalue_last``); ``rolling`` maps
     those names to agg lists among {count, sum, avg, mean, stddev}.
+    ``ffill_cols`` forward-fill existing probe/as-of columns in the same
+    windows (in-bucket ``last(ignorenulls)`` + a per-bucket last-non-null
+    carry, forward-filled over the bucket axis); ``lag_cols``/``rolling``
+    must not reference the ffill OUTPUT columns (fill first yourself, or
+    use the composed operators) — ffill outputs are assembled after the
+    in-bucket lag/cum expressions.
 
     ``hot_keys=None`` buckets EVERY entity by time (the pure hot-branch
     plan — feed it pre-filtered hot slices). ``hot_keys=[...]`` is the
@@ -126,6 +135,14 @@ def fused_feature_chain(
     values = list(values)
     out_names = [v + suffix for v in values]
     lag_cols = list(lag_cols)
+    ffill_cols = list(ffill_cols)
+    bad_ff = {c + ffill_suffix for c in ffill_cols} & (
+        set(lag_cols) | set(rolling or {})
+    )
+    if bad_ff:
+        raise ValueError(
+            f"fused chain cannot lag/roll over ffill outputs {sorted(bad_ff)}"
+        )
     lags = sorted(set(int(k) for k in lags))
     k_max = max(lags) if lags else 0
     bucket_us = int(parse_duration_seconds(bucket) * 1_000_000)
@@ -254,6 +271,13 @@ def fused_feature_chain(
             exprs.append(F.lag(F.col(c), k).over(w_rows).alias(f"__lg_{c}_{k}"))
     for p, addend in specs.items():
         exprs.append(F.sum(addend).over(w_range).alias(f"__cum_{p}"))
+    # in-bucket forward fill: same partitioning+ordering, one more window
+    # expression in the shared pass (no extra exchange)
+    w_cumrows = w_rows.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for c in ffill_cols:
+        exprs.append(
+            F.last(F.col(c), ignorenulls=True).over(w_cumrows).alias(f"__ff_{c}")
+        )
 
     def probe_chain(src: DataFrame) -> DataFrame:
         """Cached rows → as-of-resolved feature rows with rn / lags /
@@ -294,6 +318,12 @@ def fused_feature_chain(
         F.min(F.col(_TS_KEY)).alias("__min_ts"),
         F.max(F.col(_TS_KEY)).alias("__max_ts"),
         *[F.max(f"__cum_{p}").alias(f"__tot_{p}") for p in partials],
+        # the bucket's last NON-NULL fill value = the in-bucket ffill at the
+        # bucket's last row (null iff the whole bucket is null)
+        *[
+            F.max_by(F.col(f"__ff_{c}"), F.col(_TS_KEY)).alias(f"__ffb_{c}")
+            for c in ffill_cols
+        ],
     ]
     if gap_us is not None:
         agg_exprs.append(F.sum("__flag_in").alias("__fin"))
@@ -330,6 +360,12 @@ def fused_feature_chain(
         )
         c2 = c2.withColumn("__first_flag", first_flag)
         carry_cols += ["__first_flag", "__sess_off"]
+    for c in ffill_cols:
+        # last non-null fill value over all STRICTLY EARLIER buckets
+        c2 = c2.withColumn(
+            f"__ffo_{c}", F.last(f"__ffb_{c}", ignorenulls=True).over(w_prev)
+        )
+        carry_cols.append(f"__ffo_{c}")
     for p in partials:
         c2 = c2.withColumn(f"__off_{p}", F.sum(f"__tot_{p}").over(w_prev))
         # an all-null addend bucket has a NULL in-bucket cum → NULL total;
@@ -361,6 +397,17 @@ def fused_feature_chain(
     carry2 = c2.select(*carry_cols)
 
     out = mid.join(F.broadcast(carry2), on=[*keys, _B], how="left")
+
+    # ffill finals: in-bucket fill, else the cross-bucket carry. Cold rows
+    # in hybrid mode never match carry2: __ffo is null and the in-bucket
+    # fill IS the complete per-entity fill (single group).
+    ffill_names = []
+    for c in ffill_cols:
+        name = c + ffill_suffix
+        ffill_names.append(name)
+        out = out.withColumn(
+            name, F.coalesce(F.col(f"__ff_{c}"), F.col(f"__ffo_{c}"))
+        )
 
     # lag finals: in-bucket lag when enough in-bucket history, else the
     # (k − rn + 1)-th element from the end of the cross-bucket tail.
@@ -409,6 +456,7 @@ def fused_feature_chain(
         *keys,
         *[c for c in probe_cols if c not in keys],
         *out_names,
+        *ffill_names,
         *lag_names,
         *([session_col] if gap_us is not None else []),
     ]

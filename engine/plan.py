@@ -168,11 +168,18 @@ def _fused_split(plan: "FeaturePlan"):
     Disqualifiers: ``lag`` with leads (the fused carry tails are
     backward-only), non-decomposable rolling aggs (min/max need the frame
     method), any trailing window-family step (it would reintroduce the
-    per-entity skew the fusion just removed). The asof step's ``strategy``
-    param is a physical choice and is ignored — the fused plan IS the
-    physical strategy."""
-    run, last = 0, -1
+    per-entity skew the fusion just removed), a second ``ffill`` step, or
+    lag/rolling reading an ffill OUTPUT column (the fused assembly computes
+    fills after the in-bucket lag/cum expressions). The asof step's
+    ``strategy`` param is a physical choice and is ignored — the fused plan
+    IS the physical strategy. ``ffill`` is order-neutral: it fills
+    independent columns, so it may sit anywhere after the asof step."""
+    run, last, have_ffill = 0, -1, False
     for s in plan.steps:
+        if s.op == "ffill" and run > 0 and not have_ffill:
+            have_ffill = True
+            run += 1
+            continue
         o = _FUSE_ORDER.get(s.op)
         if o is None or o <= last:
             break
@@ -185,7 +192,12 @@ def _fused_split(plan: "FeaturePlan"):
     kw: dict[str, Any] = {}
     for s in plan.steps[:run]:
         p = s.params
-        if s.op == "asof":
+        if s.op == "ffill":
+            kw.update(
+                ffill_cols=list(p["cols"]),
+                ffill_suffix=p.get("out_suffix", "_f"),
+            )
+        elif s.op == "asof":
             kw.update(
                 state_name=p["state"], state_ts=p.get("state_ts", "ts"),
                 values=p.get("values"), suffix=p.get("suffix", ""),
@@ -202,6 +214,12 @@ def _fused_split(plan: "FeaturePlan"):
             if not all(n in _FUSE_DECOMP for ns in aggs.values() for n in ns):
                 return None
             kw.update(rolling=aggs, rolling_window=p["window"])
+    if have_ffill:
+        ff_out = {
+            c + kw["ffill_suffix"] for c in kw["ffill_cols"]
+        }
+        if ff_out & (set(kw.get("lag_cols", [])) | set(kw.get("rolling", {}))):
+            return None
     return run, kw
 
 

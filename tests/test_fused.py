@@ -222,6 +222,75 @@ def test_plan_lowering_fused_fallback_on_leads(sides):
             ), c
 
 
+@pytest.mark.parametrize("bucket,hot", [("6 hours", None), ("47 minutes", [HOT]), ("6 hours", [])])
+def test_fused_ffill_matches_composition(sides, bucket, hot):
+    """ffill_cols= (W1 inside the fused chain): in-bucket last(ignorenulls)
+    + cross-bucket last-non-null carry must equal composing forward_fill
+    after the as-of join — plain, hybrid, and degenerate-empty modes.
+    fvalue_last is null for before-first probes and for null state values,
+    so the fill is genuinely exercised across bucket boundaries."""
+    from engine.window_ops import forward_fill
+
+    probes, ev = sides
+    ref = forward_fill(
+        reference_chain(probes, ev), "doc_id", "asof_ts", ["fvalue_last"]
+    )
+    fus = fused_feature_chain(
+        probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+        values=["fvalue", "fcat"], suffix="_last",
+        lag_cols=["fvalue_last"], lags=[1, 2],
+        session_gap=GAP, rolling={"fvalue_last": ["count", "sum", "avg"]},
+        rolling_window=WIN, bucket=bucket, hot_keys=hot,
+        ffill_cols=["fvalue_last"],
+    )
+    assert_equal(ref, fus)
+
+
+def test_fused_ffill_rejects_dependent_lag(sides):
+    """lag over an ffill OUTPUT column must raise (the fused assembly
+    computes fills after the in-bucket lag expressions)."""
+    probes, ev = sides
+    with pytest.raises(ValueError, match="ffill outputs"):
+        fused_feature_chain(
+            probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
+            values=["fvalue"], suffix="_last",
+            ffill_cols=["fvalue_last"], ffill_suffix="_f",
+            lag_cols=["fvalue_last_f"], lags=[1],
+        )
+
+
+def test_plan_lowering_fuses_ffill(sides):
+    """A FeaturePlan with an ffill step still fuses (order-neutral) and
+    matches the plain lowering."""
+    from engine.plan import FeatureEngine, _fused_split
+
+    probes, ev = sides
+
+    def build():
+        return (
+            FeatureEngine(probes, entity="doc_id", ts="asof_ts")
+            .asof(ev, values=["fvalue", "fcat"], suffix="_last")
+            .ffill(["fvalue_last"])
+            .lag(["fvalue_last"], lags=[1])
+            .sessionize(GAP)
+        )
+
+    assert _fused_split(build().plan) is not None
+    plain = build().to_df()
+    hybrid = build().to_df(hot_keys=[HOT], bucket="6 hours")
+    assert_equal(plain, hybrid)
+    # lag over the ffill OUTPUT cannot fuse — falls back, still matches
+    def build_dep():
+        return (
+            FeatureEngine(probes, entity="doc_id", ts="asof_ts")
+            .asof(ev, values=["fvalue", "fcat"], suffix="_last")
+            .ffill(["fvalue_last"])
+            .lag(["fvalue_last_f"], lags=[1])
+        )
+
+    assert _fused_split(build_dep().plan) is None
+
+
 def test_fused_no_state_rows(sides, spark):
     """Probes with an empty state side: all as-of values null, lags null,
     sessions and rolling still defined over the probe frame."""
