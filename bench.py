@@ -51,8 +51,18 @@ def get_spark(cores: int) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "128")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.enabled", os.environ.get("AFG_AQE", "true"))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            os.environ.get("AFG_AQE_COALESCE", "false"),
+        )
+        # pinned floor when coalescing is on: identical at every parallelism
+        # level (minPartitionNum would otherwise default to the leg's cores,
+        # changing the physical plan between legs), and high enough that the
+        # wide window shuffles never fold below the widest leg's parallelism
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+                os.environ.get("AFG_AQE_COALESCE_MIN", "32"))
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.driver.memory", driver_mem)
         # derby metastore + warehouse pinned to /tmp so the bucketed
         # sequences table registration is shared by both scaling legs and
@@ -79,6 +89,12 @@ def get_spark(cores: int) -> SparkSession:
         .config("spark.sql.warehouse.dir", "/tmp/afg_warehouse")
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("AFG_EVENTLOG_DIR"):
+        # stage-level timeline for profiling bench runs (parse the JSON log)
+        os.makedirs(os.environ["AFG_EVENTLOG_DIR"], exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", "file://" + os.environ["AFG_EVENTLOG_DIR"]
+        )
     if os.environ.get("AFG_SHUFFLE_TMPFS", "0") == "1":
         # Shuffle spill on tmpfs: a real cluster's aggregate shuffle
         # bandwidth scales with executor count; the sandbox's one local disk

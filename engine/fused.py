@@ -67,6 +67,7 @@ from engine.hotwin import hot_predicate
 from engine.window_ops import parse_duration_seconds
 
 _B = "__fx_b"
+_SK = "__fx_sk"
 
 
 def _as_list(x: str | Sequence[str]) -> list[str]:
@@ -205,9 +206,18 @@ def fused_feature_chain(
         probes, state, keys, probe_ts, state_ts, values, out_names
     )
     unioned = unioned.withColumn(_B, bucket_of(F.col(_TS_KEY)))
+    # Sort-key prefix hardening: corpus entity keys routinely share a long
+    # common prefix (doc%012d here; URLs/paths in real corpora), so Spark's
+    # 8-byte sort-prefix comparator never discriminates and EVERY comparison
+    # in the fact-scale window sorts falls through to a full string compare.
+    # A leading 64-bit hash of the keys makes the prefix decisive for ~all
+    # comparisons (equal hashes fall back to the real key, so grouping is
+    # exact). The hash is a pure function of the keys: window groups and
+    # exchange co-location are unchanged.
+    unioned = unioned.withColumn(_SK, F.xxhash64(*keys))
     tie = F.col(_TAG).asc() if not strict else F.col(_TAG).desc()
     w_asof = (
-        Window.partitionBy(*keys, _B)
+        Window.partitionBy(_SK, *keys, _B)
         .orderBy(F.col(_TS_KEY).asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -235,31 +245,34 @@ def fused_feature_chain(
     # row misses the carry join and coalesces to the no-earlier-bucket
     # defaults, which is exactly its single-group semantics.
     carry_src = mid_all if pred is None else mid_all.where(pred)
+    # _SK leads every carry grouping too: it's a pure function of the keys
+    # (groups unchanged) and keeps the carry aggregations satisfiable by the
+    # E1 exchange's (_SK, keys, B) clustering — no re-shuffle of the frame.
     bucket_last = (
         carry_src.where(F.col(_TAG) == 0)
-        .groupBy(*keys, _B)
+        .groupBy(_SK, *keys, _B)
         .agg(
             F.max_by(
                 F.col(_PAYLOAD), F.struct(F.col(_TS_KEY), F.col(_PAYLOAD))
             ).alias("__fx_pay")
         )
     )
-    axis = carry_src.select(*keys, _B).distinct()
+    axis = carry_src.select(_SK, *keys, _B).distinct()
     w_ff = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(_SK, *keys)
         .orderBy(F.col(_B))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     asof_carry = (
-        axis.join(bucket_last, on=[*keys, _B], how="left")
+        axis.join(bucket_last, on=[_SK, *keys, _B], how="left")
         .withColumn("__fx_carry", F.last("__fx_pay", ignorenulls=True).over(w_ff))
-        .select(*keys, _B, "__fx_carry")
+        .select(_SK, *keys, _B, "__fx_carry")
     )
 
     # ---- second window set over the as-of-resolved probe rows -----------
-    w_rows = Window.partitionBy(*keys, _B).orderBy(F.col(_TS_KEY))
+    w_rows = Window.partitionBy(_SK, *keys, _B).orderBy(F.col(_TS_KEY))
     w_range = w_rows.rangeBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy(*keys, _B)
+    w_all = Window.partitionBy(_SK, *keys, _B)
     exprs = [
         F.row_number().over(w_rows).alias("__rn"),
         F.count(F.lit(1)).over(w_all).alias("__cnt"),
@@ -284,9 +297,10 @@ def fused_feature_chain(
         session flag / in-bucket cums. Reads the mid_all cache; the windows
         reuse its (entity, B) partitioning (sort only, no exchange)."""
         d = src.where(F.col(_TAG) == 1)
-        d = d.join(F.broadcast(asof_carry), on=[*keys, _B], how="left")
+        d = d.join(F.broadcast(asof_carry), on=[_SK, *keys, _B], how="left")
         pay = F.coalesce(F.col(_PAYLOAD), F.col("__fx_carry"))
         d = d.select(
+            _SK,
             *keys,
             _B,
             _TS_KEY,
@@ -338,15 +352,15 @@ def fused_feature_chain(
         agg_exprs.append(
             F.array_sort(F.collect_list(tail_struct)).alias("__tail")
         )
-    c2 = mid_c.groupBy(*keys, _B).agg(*agg_exprs)
+    c2 = mid_c.groupBy(_SK, *keys, _B).agg(*agg_exprs)
 
     w_prev = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(_SK, *keys)
         .orderBy(F.col(_B))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_lag = Window.partitionBy(*keys).orderBy(F.col(_B))
-    carry_cols = [*keys, _B]
+    w_lag = Window.partitionBy(_SK, *keys).orderBy(F.col(_B))
+    carry_cols = [_SK, *keys, _B]
     c2 = c2.withColumn("__prev_c", F.lag("__max_ts").over(w_lag))
     if gap_us is not None:
         first_flag = F.when(
@@ -396,7 +410,7 @@ def fused_feature_chain(
     c2 = tracked_persist(c2)
     carry2 = c2.select(*carry_cols)
 
-    out = mid.join(F.broadcast(carry2), on=[*keys, _B], how="left")
+    out = mid.join(F.broadcast(carry2), on=[_SK, *keys, _B], how="left")
 
     # ffill finals: in-bucket fill, else the cross-bucket carry. Cold rows
     # in hybrid mode never match carry2: __ffo is null and the in-bucket
@@ -480,6 +494,7 @@ def fused_feature_chain(
         )
     )
     e = out.select(
+        _SK,
         *keep,
         *[f"__st_{p}" for p in partials],
         F.col(_TS_KEY),
@@ -488,7 +503,7 @@ def fused_feature_chain(
     e = e.select("*", "__role.__side", "__role.__key", "__role.__pay").drop("__role")
     e = e.withColumn("__rb", bucket_of(F.col("__key")))
     w_res = (
-        Window.partitionBy(*keys, "__rb")
+        Window.partitionBy(_SK, *keys, "__rb")
         .orderBy(F.col("__key").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -502,6 +517,7 @@ def fused_feature_chain(
     # bucket, so a missing base correctly falls back to zero.
     kh = (win_us + 1) // bucket_us
     ends = c2.select(
+        _SK,
         *keys,
         F.col(_B).alias("__rb"),
         F.struct(*[F.col(f"__end_{p}").alias(p) for p in partials]).alias("__so"),
@@ -510,6 +526,7 @@ def fused_feature_chain(
     so_type = ends.schema["__so"].dataType
     cand = (
         c2.select(
+            _SK,
             *keys,
             F.explode(
                 F.array(F.col(_B) - F.lit(kh), F.col(_B) - F.lit(kh + 1))
@@ -520,7 +537,7 @@ def fused_feature_chain(
         .withColumn("__kind", F.lit(0))
     )
     w_so = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(_SK, *keys)
         .orderBy(F.col("__rb").asc(), F.col("__kind").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -528,9 +545,9 @@ def fused_feature_chain(
         ends.unionByName(cand)
         .withColumn("__so", F.last("__so", ignorenulls=True).over(w_so))
         .where(F.col("__kind") == 0)
-        .select(*keys, "__rb", "__so")
+        .select(_SK, *keys, "__rb", "__so")
     )
-    cut = cut.join(F.broadcast(so), on=[*keys, "__rb"], how="left")
+    cut = cut.join(F.broadcast(so), on=[_SK, *keys, "__rb"], how="left")
     base = F.coalesce(F.col("__base"), F.col("__so"))
 
     def minus(p: str) -> Column:
