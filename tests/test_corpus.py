@@ -345,3 +345,19 @@ def test_ivf_full_probe_equals_brute_force(emb):
     part = ivf_topk(emb, q, k=5, centroid_stride=40, nprobe=2).toPandas()
     merged = part.merge(brute, on=["q_id", "vec_id"], suffixes=("_a", "_b"))
     assert np.allclose(merged["score_a"], merged["score_b"])
+
+
+def test_ensure_min_parallelism_widens_and_noops(spark):
+    """Narrow frames widen to cluster parallelism before heavy kernels; a
+    frame already at/above the target passes through untouched (the 100 TB
+    no-op guarantee), and rows are preserved either way."""
+    from engine.io import ensure_min_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000, numPartitions=target + 4)
+    widened = ensure_min_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() >= min(target, 2)
+    assert widened.count() == 1000
+    same = ensure_min_parallelism(wide)
+    assert same is wide  # no repartition inserted
