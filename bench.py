@@ -483,9 +483,22 @@ def run_bench(cores: int) -> dict:
     # Spark's plan-based cache manager silently serves the hybrid rep's
     # persisted feat frame and this "contrast" measures only the token join
     # (the round-1 artifact that made the naive path look 2x faster).
+    # Apples-to-apples: the contrast materializes BOTH sinks concurrently,
+    # exactly like the hybrid reps (r3 — it previously ran only the token
+    # join sink, flattering the naive path by the whole stats job).
     _isolate()
-    out_u, _ = flagship_pipeline(spark, root, strategy="union")
-    results["flagship_union_noop"] = timed(lambda: materialize(out_u))
+    out_u, stats_u = flagship_pipeline(spark, root, strategy="union")
+
+    def run_union():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(materialize, out_u)
+            f2 = ex.submit(materialize, stats_u)
+            f1.result()
+            f2.result()
+
+    results["flagship_union_noop"] = timed(run_union)
     n_sequences = BENCH_DOCS  # corpus rows processed through the full pipeline
     seq_per_s = round(n_sequences / t_flag, 1)
 
@@ -603,11 +616,12 @@ legs): {eff}** (target >= 0.8; see the envelope measurement below for how
 this window relates to the N→4N executor criterion on this host)
 
 **Engine scaling inside the calibrated contention-free envelope —
-local[1] → local[4], same flagship, same corpus, same code: 0.99
-(best-based 416.9 s → 104.8 s; median-based 0.99) — target ≥ 0.8 MET.**
-(Flagship-only reps, measured 2026-08-18 via scripts/flagship_ab.py:
-local[1] best 416.9 s; local[4] from the six-rep full-protocol leg
-[109.5, 111.6, 112.2, 107.8, 104.8, 131.9].) The envelope window is the
+local[1] → local[4], same flagship, same corpus, same code: 0.93
+(best-based 390.4 s → 104.8 s; median-based 0.89) — target ≥ 0.8 MET.**
+(Flagship reps, measured 2026-08-18 via scripts/flagship_ab.py:
+local[1] over two sessions [416.9, 470.8] + [398.5, 390.4, 393.7, 434.8]
+(6 reps, spread 1.21×); local[4] from the six-rep full-protocol leg
+[109.5, 111.6, 112.2, 107.8, 104.8, 131.9] (spread 1.26×).) The envelope window is the
 faithful stand-in for the N → 4N EXECUTOR criterion on this sandbox: a
 real scale-up adds a memory bus with every executor, while every thread
 of a local[] leg shares this host's single socket — the calibration
