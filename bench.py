@@ -460,7 +460,11 @@ def run_bench(cores: int) -> dict:
         reps.append(round(time.time() - _t0, 3))
     t_compute = min(reps)
     flagship_reps = reps  # recorded in the payload, not in per-query seconds
-    flagship_median = sorted(reps)[len(reps) // 2]
+    # true median (even rep counts average the two middle elements — the old
+    # upper-middle pick biased the published median-based efficiency)
+    import statistics
+
+    flagship_median = round(statistics.median(reps), 3)
     # The production sink (partition-atomic in jobs/featuregen.py; P4
     # hive-partitioned layout here, so a per-source consumer prunes whole
     # directories). Reported separately from the throughput basis: in this

@@ -340,14 +340,31 @@ def simhash_near_pairs(
         "block_id", "block_val",
     )
     join_keys = ["block_id", "block_val"]
+    # NOTE: this groupBy+collect is an EAGER Spark job at DataFrame-
+    # construction time (hot-bucket routing is input metadata, like table
+    # stats) — callers building this frame in a loop should hoist it.
+    _HOT_CAP = 100_000
     hot_rows = (
         b.groupBy(*join_keys)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= hot_bucket_rows)
         .select(*join_keys)
-        .limit(100_000)
+        .limit(_HOT_CAP + 1)
         .collect()
     )
+    if len(hot_rows) > _HOT_CAP:
+        # no-silent-caps convention: buckets beyond the cap stay on the
+        # single-task equi-join path — exactly the anti-scaling this split
+        # exists to fix — so say so instead of silently truncating.
+        import sys
+
+        print(
+            f"simhash_near_pairs: hot-bucket list truncated at {_HOT_CAP}; "
+            f"excess hot buckets fall back to the plain equi-join "
+            f"(raise hot_bucket_rows or shard the input)",
+            file=sys.stderr,
+        )
+        hot_rows = hot_rows[:_HOT_CAP]
     if hot_rows:
         from engine.skew import salted_join
 

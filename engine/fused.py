@@ -333,9 +333,16 @@ def fused_feature_chain(
         F.max(F.col(_TS_KEY)).alias("__max_ts"),
         *[F.max(f"__cum_{p}").alias(f"__tot_{p}") for p in partials],
         # the bucket's last NON-NULL fill value = the in-bucket ffill at the
-        # bucket's last row (null iff the whole bucket is null)
+        # bucket's last row (null iff the whole bucket is null). Tie-break
+        # like the as-of payload carry: among rows sharing the bucket's max
+        # ts the fill states can differ (a null-value row ordered before a
+        # non-null one carries the OLD fill), and bare max_by picks an
+        # arbitrary tie — max over (ts, fill) is deterministic and
+        # consistent with the engine-chosen-tie contract (r3 advice).
         *[
-            F.max_by(F.col(f"__ff_{c}"), F.col(_TS_KEY)).alias(f"__ffb_{c}")
+            F.max_by(
+                F.col(f"__ff_{c}"), F.struct(F.col(_TS_KEY), F.col(f"__ff_{c}"))
+            ).alias(f"__ffb_{c}")
             for c in ffill_cols
         ],
     ]
