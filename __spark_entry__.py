@@ -312,24 +312,121 @@ def q_semi_anti(spark, sf_dir):
     return shipped.unionByName(never)
 
 
-def q_flagship_sequences(spark, sf_dir):
-    """Rows-only check: full pipeline over the synthetic tokenized corpus
-    (sequences isn't a driver table, so no SQL oracle — covered by the pandas
-    oracle in tests/)."""
-    from engine.datagen import gen_probes, gen_seq_events, gen_sequences
+_FLAGSHIP_ORACLE_ROOT = "/tmp/afg_flagship_oracle_n2000_s42"
 
-    n_docs = 2000
-    seqs = gen_sequences(spark, n_docs, seed=42, partitions=8)
-    ev = gen_seq_events(spark, n_docs, seed=42, partitions=8)
-    probes = gen_probes(spark, n_docs, 4000, seed=42)
+
+def _flagship_corpus(spark) -> str:
+    """Materialize the deterministic synthetic corpus ONCE so the Spark query
+    and the DuckDB oracle read byte-identical parquet files (datagen is pure
+    counter-hashing — engine/datagen.py — but shared files remove even the
+    regeneration step from the trust base)."""
+    import os
+
+    root = _FLAGSHIP_ORACLE_ROOT
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        from engine.datagen import gen_probes, gen_seq_events, gen_sequences
+
+        n_docs = 2000
+        gen_sequences(spark, n_docs, seed=42, partitions=8).select(
+            "doc_id", "n_tok", "source"
+        ).write.mode("overwrite").parquet(os.path.join(root, "sequences"))
+        gen_seq_events(spark, n_docs, seed=42, partitions=8).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "seq_events"))
+        gen_probes(spark, n_docs, 4000, seed=42).write.mode("overwrite").parquet(
+            os.path.join(root, "probes")
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    return root
+
+
+def q_flagship_sequences(spark, sf_dir):
+    """Flagship pipeline over the synthetic tokenized corpus — hash-exact vs
+    DuckDB (r3 verdict #5; was rows-only). Both engines read the byte-
+    identical parquet from ``_flagship_corpus``. State is deduped to one row
+    per (doc_id, ts) with a deterministic max tie-break and probes to
+    DISTINCT, so as-of/lag tie ordering is well-defined (the raw fixture
+    plants duplicate ties deliberately — those stay covered by asof_union's
+    tie oracle). The 1-day trailing sum goes through DECIMAL(18,3) (fvalue
+    has exactly 3 decimals) so it is exact in both engines."""
+    import os
+
+    root = _flagship_corpus(spark)
+    seqs = spark.read.parquet(os.path.join(root, "sequences"))
+    ev0 = spark.read.parquet(os.path.join(root, "seq_events"))
+    probes = spark.read.parquet(os.path.join(root, "probes")).distinct()
+    w = Window.partitionBy("doc_id", "ts").orderBy(
+        F.coalesce(F.col("fvalue"), F.lit(-1.0)).desc(), F.col("fcat").desc()
+    )
+    ev = (
+        ev0.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id", "ts", "fvalue",
+            F.col("fvalue").cast("decimal(18,3)").alias("fvdec"), "fcat",
+        )
+    )
     feat = asof_join(
         probes, ev, on="doc_id", probe_ts="asof_ts", state_ts="ts",
-        values=["fvalue", "fcat"], suffix="_last",
+        values=["fvalue", "fvdec", "fcat"], suffix="_last",
     )
     feat = lag_features(feat, "doc_id", "asof_ts", ["fvalue_last"], lags=[1])
     feat = sessionize(feat, "doc_id", "asof_ts", gap="1 hour")
-    out = feat.join(seqs.select("doc_id", "n_tok", "source"), "doc_id", "left")
-    return out
+    feat = rolling_aggregates(
+        feat, "doc_id", "asof_ts", {"fvdec_last": ["count", "sum"]},
+        window="1 day", method="frame",
+    )
+    out = feat.join(seqs, "doc_id", "left")
+    return out.select(
+        "doc_id", "asof_ts", "fvalue_last", "fcat_last",
+        F.col("fvalue_last_lag1").alias("fvalue_lag1"),
+        "session_id",
+        F.col("fvdec_last_count_1day").alias("n_1d"),
+        F.col("fvdec_last_sum_1day").cast("double").alias("sum_1d"),
+        "n_tok", "source",
+    )
+
+
+_FLAGSHIP_SQL = f"""
+WITH ev0 AS (SELECT * FROM read_parquet('{_FLAGSHIP_ORACLE_ROOT}/seq_events/*.parquet')),
+evr AS (
+  SELECT doc_id, ts, fvalue, CAST(fvalue AS DECIMAL(18,3)) AS fvdec, fcat,
+         row_number() OVER (PARTITION BY doc_id, ts
+                            ORDER BY coalesce(fvalue, -1) DESC, fcat DESC) AS rn
+  FROM ev0),
+ev AS (SELECT doc_id, ts, fvalue, fvdec, fcat FROM evr WHERE rn = 1),
+p AS (SELECT DISTINCT doc_id, asof_ts
+      FROM read_parquet('{_FLAGSHIP_ORACLE_ROOT}/probes/*.parquet')),
+a AS (
+  SELECT p.doc_id, p.asof_ts, e.fvalue AS fvalue_last, e.fvdec AS fvdec_last,
+         e.fcat AS fcat_last
+  FROM p ASOF LEFT JOIN ev e ON p.doc_id = e.doc_id AND e.ts <= p.asof_ts),
+l AS (
+  SELECT *, lag(fvalue_last, 1) OVER (PARTITION BY doc_id ORDER BY asof_ts)
+              AS fvalue_lag1
+  FROM a),
+d AS (
+  SELECT *, CASE WHEN lag(asof_ts) OVER w IS NULL
+                      OR epoch_us(asof_ts) - epoch_us(lag(asof_ts) OVER w) > 3600000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM l WINDOW w AS (PARTITION BY doc_id ORDER BY asof_ts)),
+se AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY asof_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM d),
+r AS (
+  SELECT *, COUNT(fvdec_last) OVER w2 AS n_1d,
+         CAST(SUM(fvdec_last) OVER w2 AS DOUBLE) AS sum_1d
+  FROM se WINDOW w2 AS (PARTITION BY doc_id ORDER BY asof_ts
+                        RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW))
+SELECT r.doc_id, r.asof_ts, fvalue_last, fcat_last, fvalue_lag1, session_id,
+       n_1d, sum_1d, q.n_tok, q.source
+FROM r LEFT JOIN read_parquet('{_FLAGSHIP_ORACLE_ROOT}/sequences/*.parquet') q
+  USING (doc_id)
+"""
 
 
 def q_session_window_agg(spark, sf_dir):
@@ -1319,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,    # cover: simhash_pairs_md5 (same kernel, portable hash)
         "embedding_near_dup": q_embedding_near_dup,  # cover: embedding_near_dup_lsh (same verify kernel)
         "ann_lsh_topk": q_ann_lsh_topk,      # cover: ann_lsh_multitable (superset, L=1 special case)
-        "flagship_sequences": q_flagship_sequences,  # rows-only; composed ops all in-window
+        "flagship_sequences": q_flagship_sequences,  # cover: asof_union+lag_lead+session_agg+rolling_1h; hash-exact DuckDB oracle since r4
     }
 
 
@@ -1613,5 +1710,6 @@ SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """,
+        "flagship_sequences": _FLAGSHIP_SQL,
         **_corpus_oracle_sql(),
     }

@@ -41,10 +41,10 @@ def test_oracle_keys_subset():
     # every oracle-less query is intentionally rows-only
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "flagship_sequences",   # synthetic corpus, pandas-oracle-tested
         "simhash_pairs",        # xxhash64 has no DuckDB analogue
-        # (r3: multimodal_decode + approx_distinct were upgraded to
-        # hash-exact — sha256 reconstruction / in-query bound assertion)
+        # (r3: multimodal_decode + approx_distinct upgraded to hash-exact;
+        #  r4: flagship_sequences upgraded — shared-parquet corpus +
+        #  ASOF JOIN / window SQL oracle)
     }, rows_only
 
 
