@@ -158,6 +158,7 @@ def _tagged_union(
     state_ts: str,
     values: list[str],
     out_names: list[str],
+    with_state_ts: bool = True,
 ) -> tuple[DataFrame, list[str]]:
     """Shared union-side builder for the union/bucketed strategies.
 
@@ -165,11 +166,19 @@ def _tagged_union(
     well-defined even when individual value columns are null (merge_asof
     parity); the struct itself is null on probe rows, so ignorenulls skips
     probes but never skips a state row.
+
+    ``with_state_ts=False`` omits the matched-state-timestamp field from the
+    payload (callers that never serve ``include_state_ts`` — the fused
+    chain): 8 bytes per state row less through the fact-scale exchange.
     """
     probe_cols = probes.columns
     payload = F.struct(
         *[F.col(v).alias(n) for v, n in zip(values, out_names)],
-        F.col(state_ts).cast("timestamp").alias("__state_ts"),
+        *(
+            [F.col(state_ts).cast("timestamp").alias("__state_ts")]
+            if with_state_ts
+            else []
+        ),
     )
     state_side = state.select(
         *[F.col(k) for k in keys],

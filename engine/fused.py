@@ -254,7 +254,8 @@ def fused_feature_chain(
     # (the previous design's hot-slice scans + second mini-pipeline were
     # measured at ~0.5 scaling efficiency 4→16 cores: near-constant cost).
     unioned, probe_cols = _tagged_union(
-        probes, state, keys, probe_ts, state_ts, values, out_names
+        probes, state, keys, probe_ts, state_ts, values, out_names,
+        with_state_ts=False,
     )
     unioned = unioned.withColumn(_B, bucket_of(F.col(_TS_KEY)))
     # Sort-key prefix hardening: corpus entity keys routinely share a long
@@ -536,6 +537,16 @@ def fused_feature_chain(
         return out.select(*keep)
 
     # ---- Exchange 2: cutoff resolution for the rolling prefix -----------
+    # Byte discipline (r4): only the CUT rows (side 1) survive to the output,
+    # so the state-role rows (side 0) need nothing but (_SK, keys, __key,
+    # __pay) — every pass-through column (probe payload, as-of strings, lag/
+    # session results, and the __st_ partials that side 0 already carries
+    # inside __pay) is NULLED on side 0 before the exchange. UnsafeRow omits
+    # variable-length data for null fields, so this roughly halves the
+    # variable bytes the 2×-row explode pushes through the second shuffle —
+    # the r3 protocol's residual 4→16 decay was memory bandwidth, and this
+    # exchange moved the widest rows in the plan. _TS_KEY is dropped
+    # entirely (its information lives on in __key).
     pay2 = F.struct(*[F.col(f"__st_{p}").alias(p) for p in partials])
     role = F.explode(
         F.array(
@@ -551,14 +562,25 @@ def fused_feature_chain(
             ),
         )
     )
+    passthrough = [c for c in keep if c not in keys] + [
+        f"__st_{p}" for p in partials
+    ]
     e = out.select(
         _SK,
-        *keep,
-        *[f"__st_{p}" for p in partials],
-        F.col(_TS_KEY),
+        *keys,
+        *passthrough,
         role.alias("__role"),
     )
     e = e.select("*", "__role.__side", "__role.__key", "__role.__pay").drop("__role")
+    is_cut = F.col("__side") == 1
+    e = e.select(
+        _SK,
+        *keys,
+        "__side",
+        "__key",
+        "__pay",
+        *[F.when(is_cut, F.col(c)).alias(c) for c in passthrough],
+    )
     e = e.withColumn("__rb", bucket_of(F.col("__key")))
     w_res = (
         Window.partitionBy(_SK, *keys, "__rb")

@@ -61,6 +61,27 @@ def stats(df, plan: str) -> str:
     return "\n".join(lines)
 
 
+def exchange_schemas(plan: str) -> str:
+    """One line per Exchange detail block: partitioning keys + input width.
+
+    The width is what the shuffle serializes per row — the r4 bytes-per-row
+    work (E2 side-0 nulling, payload __state_ts drop) is visible here as the
+    second fact-scale exchange carrying nulled pass-through columns."""
+    out = []
+    for m in re.finditer(
+        r"^\(\d+\) Exchange\s*\nInput \[(\d+)\]: \[([^\]]*)\]\s*\nArguments: ([^\n]*)",
+        plan,
+        re.M,
+    ):
+        width, cols, args = int(m.group(1)), m.group(2), m.group(3)
+        keys = re.match(r"(\w+partitioning\([^)]*\))", args)
+        out.append(
+            f"- `{keys.group(1) if keys else args.split(',')[0]}` — "
+            f"width {width}: `{cols[:180]}`"
+        )
+    return "\n".join(out)
+
+
 def section(title: str, desc: str, df, max_exchanges: int | None = None) -> str:
     """``max_exchanges``: hard gate — the audit FAILS if the plan needs more
     real exchanges than the design claims (shape regressions surface here,
@@ -140,7 +161,11 @@ def main() -> None:
         "exchange below operates on the per-(entity, bucket) carry frames "
         "(|entities x active buckets| rows, broadcast back). The persisted "
         "mid-frame shows up as InMemoryTableScan for all four consumers — "
-        "hard-asserted, along with the exchange cap.",
+        "hard-asserted, along with the exchange cap.\n\n"
+        "Exchange schemas (what each shuffle serializes per row; the E2 "
+        "cutoff exchange's pass-through columns are NULLED on the 2x-explode "
+        "state rows, so its variable bytes are ~halved — r4 bytes-per-row "
+        "work):\n\n" + exchange_schemas(fz_plan),
         fz,
         max_exchanges=8,
     ))

@@ -51,6 +51,9 @@ def main() -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
+    # fence for scripts/tasksum.py --after: only tasks launched from here on
+    # belong to the timed reps (warmup + corpus prep excluded)
+    reps_start_ms = int(time.time() * 1000)
     reps = []
     for _ in range(n_reps):
         _cache.release_all()
@@ -72,6 +75,7 @@ def main() -> None:
         "reps": reps,
         "best": min(reps),
         "seq_per_s": round(bench.BENCH_DOCS / min(reps), 1),
+        "reps_start_ms": reps_start_ms,
     }))
     spark.stop()
 
