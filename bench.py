@@ -762,6 +762,35 @@ work at every parallelism).
             for r in abr:
                 if r.get("context"):
                     fh.write(f"\n- **{r['label']}** ({r['measured']}): {r['context']}\n")
+                if r.get("tasksum_lo") and r.get("tasksum_hi"):
+                    # Σ task metrics per leg (scripts/tasksum.py over the legs'
+                    # event logs, warmup fenced): equal Σ CPU + equal shuffle
+                    # bytes across legs = the plan does identical work at both
+                    # parallelism levels, so the residual wall gap is host
+                    # hardware (DRAM bandwidth), not plan shape.
+                    fh.write(
+                        "\n  | leg | Σ cpu_s | Σ gc_s | shuffle_write_mb "
+                        "| shuffle_read_mb | spill_disk_mb |\n"
+                        "  |---|---|---|---|---|---|\n")
+                    for leg, ts in (("lo", r["tasksum_lo"]), ("hi", r["tasksum_hi"])):
+                        cores = r[f"{leg}_cores"]
+                        fh.write(
+                            f"  | local[{cores}] | {ts['cpu_s']} | {ts['gc_s']} | "
+                            f"{ts['shuffle_write_mb']} | {ts['shuffle_read_mb']} | "
+                            f"{ts.get('spill_disk_mb', 0)} |\n")
+        ck = recs.get("checkpoint_overhead")
+        if ck:
+            fh.write(f"""
+## Checkpointing overhead on the production path (dated record, measured {ck['measured']})
+
+scripts/checkpoint_overhead.py at local[{ck['cores']}],
+{ck['bench_docs']}-doc corpus, {ck['partitions']} hash-partitions in
+chunks of {ck['chunk_size']}: straight pipeline + single partitioned
+write {ck['straight_s']} s vs the jobs/featuregen.py chunked
+atomic-commit loop {ck['chunked_s']} s —
+**{ck['overhead_pct']}% overhead** buys resumability (per-chunk plan
+build + journal writes + cache-release barrier). {ck.get('context', '')}
+""")
         fh.write(f"""
 ANN recall at {sf} (measured per run, see raw JSON): single-table
 8-plane LSH recall@5 on the fixture's ISOTROPIC embeddings
