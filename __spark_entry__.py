@@ -686,6 +686,19 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_features(gen_assets(spark, 2000))
 
 
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (engine/corpus/multimodal.py::frame_sample,
+    SURVEY.md §2.10 C14): decode video assets, explode every-8th frame
+    index against the decoded frame count. Hash-exact since r4: the DuckDB
+    oracle reconstructs the video subset (asset_id % 3 = 2), the frame
+    count (1 + id*31 % 64) and the sampled index list (generate_series
+    step 8, inclusive stop — same semantics as Spark F.sequence)
+    independently from asset_id arithmetic."""
+    from engine.corpus.multimodal import frame_sample, gen_assets
+
+    return frame_sample(gen_assets(spark, 2000), every=8)
+
+
 # ---- DuckDB oracle SQL builders (mirror engine/corpus expressions) ----
 
 _W = "string_split(trim(lower(text)), ' ')"
@@ -1009,6 +1022,18 @@ SELECT asset_id,
        CAST(2 * digest_sum + 142 AS BIGINT) AS byte_checksum,
        'header-stub' AS decoder
 FROM body
+""",
+        # video subset + frame arithmetic reconstructed from asset_id;
+        # generate_series is inclusive-stop in both engines
+        "frame_sample": """
+WITH v AS (
+  SELECT range AS asset_id,
+         CAST(1 + (range * 31) % 64 AS INTEGER) AS n_frames
+  FROM range(2000) WHERE range % 3 = 2
+)
+SELECT asset_id, n_frames,
+       CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INTEGER) AS frame_idx
+FROM v
 """,
     }
 
@@ -1417,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,  # cover: embedding_near_dup_lsh (same verify kernel)
         "ann_lsh_topk": q_ann_lsh_topk,      # cover: ann_lsh_multitable (superset, L=1 special case)
         "flagship_sequences": q_flagship_sequences,  # cover: asof_union+lag_lead+session_agg+rolling_1h; hash-exact DuckDB oracle since r4
+        "frame_sample": q_frame_sample,      # cover: multimodal_decode (same decode stage); hash-exact oracle, pytest tail-checked
     }
 
 

@@ -4,7 +4,7 @@ comparison runs via scripts/check_oracle.py at sf0.01 (driver replica)."""
 
 import __spark_entry__ as E
 
-# The 9 documented tail entries (each covered by a named in-window twin —
+# The documented tail entries (each covered by a named in-window twin —
 # see the queries() docstring). The driver's correctness gate runs the FIRST
 # 50 dict entries, so these must sit at the END of queries().
 TAIL = [
@@ -17,6 +17,7 @@ TAIL = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "flagship_sequences",
+    "frame_sample",    # r4: C14 upgraded pytest-only -> hash-exact tail oracle
 ]
 DRIVER_WINDOW = 50
 
