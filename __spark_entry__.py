@@ -699,6 +699,47 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(gen_assets(spark, 2000), every=8)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (engine/corpus/sampling.py,
+    SURVEY.md §2.10 C16): per-source Bernoulli rates via the 16-bit md5
+    coin — same membership on any re-run/partitioning, which is what makes
+    the sample resumable at scale. Hash-exact: the oracle re-derives the
+    coin by nibble arithmetic over DuckDB's md5 hex and applies the same
+    integer thresholds."""
+    from engine.corpus.sampling import stratified_sample
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.125
+    )
+
+
+def q_exact_k_sample(spark, sf_dir):
+    """Exact-k-per-stratum sample (C18): uniform-without-replacement via
+    rank on the md5 coin with key tie-break — a fixed-size eval/holdout
+    cut. Oracle = identical window in DuckDB."""
+    from engine.corpus.sampling import exact_k_sample
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return exact_k_sample(d, "source", k=5)
+
+
+def q_weighted_mix(spark, sf_dir):
+    """Source-weighted corpus mixing (C17): downsample sources so the kept
+    char-mass matches target shares; largest achievable corpus without
+    upsampling (C = min_s T_s/w_s, rate_s = least(1, w_s*C/T_s)). The rate
+    arithmetic is a fixed IEEE-double op tree mirrored verbatim in the
+    oracle, so membership AND the emitted mix_rate are bit-exact."""
+    from engine.corpus.sampling import weighted_mix
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_mix(
+        d, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    ).select("doc_id", "source", "n_chars", "mix_rate")
+
+
 # ---- DuckDB oracle SQL builders (mirror engine/corpus expressions) ----
 
 _W = "string_split(trim(lower(text)), ' ')"
@@ -715,6 +756,18 @@ def _shingles_sql(n: int = 3, w: str = "w") -> str:
         f"THEN [array_to_string({w}, ' ')] "
         f"ELSE list_transform(range(1, len({w}) - {n - 2}), i -> {grams}) END))"
     )
+
+
+def _coin_sql(key: str, salt: str = "afg") -> str:
+    """engine/corpus/sampling.py::sample_coin in DuckDB SQL: the first 4
+    hex nibbles of md5(salt|key) parsed base-16 via strpos arithmetic
+    (same technique as the multimodal byte-checksum oracle)."""
+    h = f"md5('{salt}|' || {key})"
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+    return f"(4096 * {nib(1)} + 256 * {nib(2)} + 16 * {nib(3)} + {nib(4)})"
 
 
 def _minhash_sql(i: int, sh: str = "sh") -> str:
@@ -1034,6 +1087,46 @@ WITH v AS (
 SELECT asset_id, n_frames,
        CAST(unnest(generate_series(0, n_frames - 1, 8)) AS INTEGER) AS frame_idx
 FROM v
+""",
+        # deterministic stratified sampling: same 16-bit md5 coin, same
+        # integer thresholds (1.0/0.5/0.25 -> 65536/32768/16384, default
+        # 0.125 -> 8192)
+        "stratified_sample": f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_coin_sql('doc_id')} < CASE source
+  WHEN 'src0' THEN 65536 WHEN 'src1' THEN 32768 WHEN 'src2' THEN 16384
+  ELSE 8192 END
+""",
+        "exact_k_sample": """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         PARTITION BY source ORDER BY md5('afg|' || doc_id), doc_id
+       ) AS INTEGER) AS sample_rank
+FROM documents
+QUALIFY sample_rank <= 5
+""",
+        # weighted mix: identical IEEE-double rate tree (T cast double,
+        # C = min(T/w), rate = least(1, (w*C)/T)), then the coin predicate
+        "weighted_mix": f"""
+WITH t AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS T FROM documents GROUP BY source
+),
+w AS (
+  SELECT * FROM (VALUES
+    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))
+  ) AS v(source, w)
+),
+tw AS (SELECT t.source, t.T, w.w FROM t JOIN w USING (source)),
+r AS (
+  SELECT source,
+         least(CAST(1.0 AS DOUBLE), (w * (SELECT min(T / w) FROM tw)) / T)
+           AS mix_rate
+  FROM tw
+)
+SELECT d.doc_id, d.source, d.n_chars, r.mix_rate
+FROM documents d JOIN r USING (source)
+WHERE {_coin_sql('d.doc_id')} < CAST(floor(mix_rate * 65536.0) AS INTEGER)
 """,
     }
 
@@ -1443,6 +1536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,      # cover: ann_lsh_multitable (superset, L=1 special case)
         "flagship_sequences": q_flagship_sequences,  # cover: asof_union+lag_lead+session_agg+rolling_1h; hash-exact DuckDB oracle since r4
         "frame_sample": q_frame_sample,      # cover: multimodal_decode (same decode stage); hash-exact oracle, pytest tail-checked
+        # r4 corpus sampling/mixing family (C16-C18) — hash-exact oracles,
+        # pytest tail-checked
+        "stratified_sample": q_stratified_sample,
+        "exact_k_sample": q_exact_k_sample,
+        "weighted_mix": q_weighted_mix,
     }
 
 

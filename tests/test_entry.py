@@ -18,6 +18,10 @@ TAIL = [
     "ann_lsh_topk",
     "flagship_sequences",
     "frame_sample",    # r4: C14 upgraded pytest-only -> hash-exact tail oracle
+    # r4 corpus sampling/mixing family (C16-C18), hash-exact tail oracles
+    "stratified_sample",
+    "exact_k_sample",
+    "weighted_mix",
 ]
 DRIVER_WINDOW = 50
 
