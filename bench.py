@@ -780,6 +780,15 @@ work at every parallelism).
                             f"{ts.get('spill_disk_mb', 0)} |\n")
         ck = recs.get("checkpoint_overhead")
         if ck:
+            staged = ""
+            if "staged_s" in ck:
+                staged = (
+                    f" With `--stage-input` (pid-partitioned input copies "
+                    f"written once so chunk scans partition-prune instead of "
+                    f"re-decoding the full input; staging write time "
+                    f"included): {ck['staged_s']} s — "
+                    f"**{ck['staged_overhead_pct']}% overhead**."
+                )
             fh.write(f"""
 ## Checkpointing overhead on the production path (dated record, measured {ck['measured']})
 
@@ -789,7 +798,9 @@ chunks of {ck['chunk_size']}: straight pipeline + single partitioned
 write {ck['straight_s']} s vs the jobs/featuregen.py chunked
 atomic-commit loop {ck['chunked_s']} s —
 **{ck['overhead_pct']}% overhead** buys resumability (per-chunk plan
-build + journal writes + cache-release barrier). {ck.get('context', '')}
+build + journal writes + cache-release barrier; the chunk filter is a
+predicate on a computed hash pid, so every chunk re-scans the full
+input).{staged} {ck.get('context', '')}
 """)
         fh.write(f"""
 ANN recall at {sf} (measured per run, see raw JSON): single-table

@@ -58,6 +58,40 @@ def build_features(probes, state, entity, probe_ts, values, gap, lags,
     return eng.to_df(hot_keys=keys), eng.plan
 
 
+def stage_inputs(spark, probes_p, state_p, stage_dir, files_per_pid: int = 8):
+    """Write the pid-partitioned inputs ONCE so each chunk's scan
+    partition-prunes (PartitionFilters on __pid) to its own pids instead of
+    re-decoding the full input. Without staging, the chunk filter is a
+    predicate on a COMPUTED hash column — nothing for the reader to prune —
+    so a P/chunk_size-chunk run pays P/chunk_size full input scans
+    (measured: 63% overhead at 8M docs / 4 chunks; staged overhead in the
+    same record, BENCH/BASELINE.md).
+
+    Cost model at scale: staging = one extra full-input exchange + write,
+    amortized across all chunks; the repartition keys on (pid, sub-bucket)
+    so each pid lands in ~files_per_pid files and no single task serializes
+    a whole pid. Resume-safe/idempotent: a table is reused only when its
+    write completed (_SUCCESS); pid assignment is data-determined, so a
+    restaged table is bit-identical.
+    """
+    out = {}
+    for name, df in (("probes", probes_p), ("state", state_p)):
+        d = os.path.join(stage_dir, name)
+        sub = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns if c != PID_COL]),
+            F.lit(files_per_pid),
+        )
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            (
+                df.repartition(F.col(PID_COL), sub)
+                .write.mode("overwrite")
+                .partitionBy(PID_COL)
+                .parquet(d)
+            )
+        out[name] = spark.read.parquet(d)
+    return out["probes"], out["state"]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="/root/testdata/sf0.001")
@@ -75,6 +109,10 @@ def main(argv=None):
     ap.add_argument("--output-partition-by", nargs="*", default=[],
                     help="extra hive-partition columns under the pid layout "
                          "(P4 pruning for downstream readers), e.g. source")
+    ap.add_argument("--stage-input", action="store_true",
+                    help="write pid-partitioned input copies once under "
+                         "<output>/_staged so chunk scans partition-prune "
+                         "instead of re-decoding the full input per chunk")
     ap.add_argument("--kill-after-chunks", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)
@@ -126,6 +164,10 @@ def main(argv=None):
 
     probes_p = with_partition_id(probes, entity, args.partitions)
     state_p = with_partition_id(state, entity, args.partitions)
+    if args.stage_input:
+        probes_p, state_p = stage_inputs(
+            spark, probes_p, state_p, os.path.join(args.output, "_staged")
+        )
 
     t_start = time.time()
     total_rows = 0
@@ -143,6 +185,7 @@ def main(argv=None):
                 "inputs": {"input": args.input, "synthetic": args.synthetic, "seed": args.seed},
                 "params": {"gap": args.gap, "lags": args.lags, "partitions": args.partitions,
                            "asof_strategy": args.asof_strategy,
+                           "stage_input": args.stage_input,
                            "n_hot_keys": len(hot_keys or [])},
                 "plan": plan.to_dict(),
                 "code_version": os.environ.get("AFG_CODE_VERSION", "dev"),

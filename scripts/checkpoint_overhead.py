@@ -82,21 +82,40 @@ def main() -> None:
     cache.release_all()
     spark.catalog.clearCache()
 
-    # chunked: the featuregen loop (per-chunk plan build + atomic commit)
-    io = ParquetJournalTableIO(os.path.join(out_root, "chunked"))
-    mgr = CheckpointManager(io, partitions)
+    # chunked: the featuregen loop (per-chunk plan build + atomic commit).
+    # The chunk filter is a predicate on a COMPUTED hash pid — the reader
+    # cannot prune, so every chunk re-scans the full input.
     probes_p = with_partition_id(probes, entity, partitions)
     state_p = with_partition_id(state, entity, partitions)
     lineage = {"inputs": {"corpus": root}, "params": {"partitions": partitions}}
+
+    def chunked_loop(out_name, pp, ss):
+        io = ParquetJournalTableIO(os.path.join(out_root, out_name))
+        mgr = CheckpointManager(io, partitions)
+        pending = mgr.pending()
+        for i in range(0, len(pending), chunk_size):
+            chunk = pending[i : i + chunk_size]
+            cp = pp.where(F_isin(chunk))
+            cs = ss.where(F_isin(chunk)).drop(PID_COL)
+            mgr.run_chunk(chunk, build(cp, cs), lineage)
+            cache.release_all()
+
     t0 = time.time()
-    pending = mgr.pending()
-    for i in range(0, len(pending), chunk_size):
-        chunk = pending[i : i + chunk_size]
-        cp = probes_p.where(F_isin(chunk))
-        cs = state_p.where(F_isin(chunk)).drop(PID_COL)
-        mgr.run_chunk(chunk, build(cp, cs), lineage)
-        cache.release_all()
+    chunked_loop("chunked", probes_p, state_p)
     chunked_s = round(time.time() - t0, 2)
+    spark.catalog.clearCache()
+
+    # chunked_staged: jobs/featuregen.py --stage-input — pid-partitioned
+    # input copies written once (timed as part of this leg), chunk scans
+    # partition-prune to their pids.
+    from jobs.featuregen import stage_inputs
+
+    t0 = time.time()
+    sp_p, ss_p = stage_inputs(
+        spark, probes_p, state_p, os.path.join(out_root, "staged_in")
+    )
+    chunked_loop("chunked_staged", sp_p, ss_p)
+    staged_s = round(time.time() - t0, 2)
 
     print(json.dumps({
         "cores": cores,
@@ -106,6 +125,8 @@ def main() -> None:
         "straight_s": straight_s,
         "chunked_s": chunked_s,
         "overhead_pct": round((chunked_s / straight_s - 1) * 100, 1),
+        "staged_s": staged_s,
+        "staged_overhead_pct": round((staged_s / straight_s - 1) * 100, 1),
     }))
     spark.stop()
 
