@@ -740,6 +740,52 @@ def q_weighted_mix(spark, sf_dir):
     ).select("doc_id", "source", "n_chars", "mix_rate")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination (engine/corpus/traindata.py, SURVEY.md
+    §2.10 C19): flag training docs sharing any word 3-gram with a
+    deterministic 5% eval cut of the corpus (the C16 hash coin under the
+    'eval' salt). Hash-exact: the oracle re-derives the eval set with the
+    nibble-parsed coin and the grams with the shared shingle SQL."""
+    from engine.corpus.sampling import hash_sample
+    from engine.corpus.traindata import decontaminate
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ev = hash_sample(d, 0.05, salt="eval")
+    return decontaminate(d, ev, n=3).select(
+        "doc_id", "source", "n_hit_grams", "contaminated"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (C20): shard docs by source, lay
+    them end to end in hash order, cut every 64 BPE-ish tokens; one row per
+    (doc, pack) slice. Oracle = identical int64 window + generate_series
+    arithmetic in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from engine.corpus.text import bpe_tokens
+    from engine.corpus.traindata import pack_sequences
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("n_tok", F.size(bpe_tokens(F.col("text"))))
+    )
+    return pack_sequences(d, seq_len=64, n_tokens_col="n_tok")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary stats (C21): top-100 tokens by term frequency with
+    document frequency, via per-(doc,token) pre-agg then per-token totals
+    (map-side-combine friendly) and TakeOrderedAndProject. Total order
+    (term_freq desc, token) makes the set unique; oracle = same two-level
+    aggregation in DuckDB."""
+    from engine.corpus.traindata import vocab_stats
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return vocab_stats(d, top_k=100)
+
+
 # ---- DuckDB oracle SQL builders (mirror engine/corpus expressions) ----
 
 _W = "string_split(trim(lower(text)), ' ')"
@@ -819,6 +865,7 @@ def _bucket_sql(v: str, table: int = 0) -> str:
 
 
 def _corpus_oracle_sql() -> dict[str, str]:
+    from engine.corpus.sampling import rate_threshold
     from engine.corpus.text import LANGS, STOPWORDS
 
     lang_scores = ",\n  ".join(
@@ -1127,6 +1174,63 @@ r AS (
 SELECT d.doc_id, d.source, d.n_chars, r.mix_rate
 FROM documents d JOIN r USING (source)
 WHERE {_coin_sql('d.doc_id')} < CAST(floor(mix_rate * 65536.0) AS INTEGER)
+""",
+        # decontamination: eval cut = C16 coin under the 'eval' salt at
+        # rate 0.05 (threshold {rate_threshold(0.05)} = floor(.05*65536));
+        # shingles() is distinct per doc, so count(*) after the gram join
+        # counts distinct hit grams
+        "decontaminate": f"""
+WITH wt AS (SELECT doc_id, source, {_W} AS w FROM documents),
+sh AS (SELECT doc_id, source, {_shingles_sql(3)} AS sh FROM wt),
+ev AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh
+  WHERE {_coin_sql('doc_id', 'eval')} < {rate_threshold(0.05)}
+),
+dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+h AS (SELECT dg.doc_id, count(*) AS n_hit FROM dg JOIN ev USING (g) GROUP BY dg.doc_id)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+""",
+        # concat-and-chunk packing: identical int64 op tree (window sum in
+        # (md5 coin, doc_id) order, DIV/greatest/least slice arithmetic)
+        "pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n,
+         CAST(sum(n) OVER (
+           PARTITION BY source ORDER BY md5('afg|' || doc_id), doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM d WHERE n > 0
+),
+s AS (SELECT doc_id, source, n, e, e - n AS st FROM c),
+x AS (SELECT *, unnest(generate_series(st // 64, (e - 1) // 64)) AS p FROM s)
+SELECT doc_id, source,
+       CAST(p AS BIGINT) AS pack_id,
+       CAST(greatest(st, p * 64) - p * 64 AS BIGINT) AS pack_off,
+       CAST(greatest(st, p * 64) - st AS BIGINT) AS tok_start,
+       CAST(least(e, (p + 1) * 64) - greatest(st, p * 64) AS BIGINT) AS tok_len
+FROM x
+""",
+        # vocabulary stats: same two-level aggregation + total-order top-k
+        "vocab_topk": f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token
+  FROM documents
+),
+pd AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
+a AS (
+  SELECT token, CAST(sum(c) AS BIGINT) AS term_freq,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY token
+)
+SELECT token, term_freq, doc_freq FROM a
+ORDER BY term_freq DESC, token LIMIT 100
 """,
     }
 
@@ -1541,6 +1645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "exact_k_sample": q_exact_k_sample,
         "weighted_mix": q_weighted_mix,
+        # r4 training-set prep family (C19-C21) — hash-exact oracles,
+        # pytest tail-checked
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
     }
 
 

@@ -1,0 +1,182 @@
+"""Training-set preparation operators (SURVEY.md §2.10 C19-C21): the steps
+between a cleaned corpus and a token stream — eval-set decontamination,
+fixed-length sequence packing, and corpus vocabulary statistics.
+
+Requirement source: task brief "add the operations a large-scale
+training-data pipeline would need"; the reference repo is empty at v0
+(/root/reference/README.md:1), so the semantics are defined here and
+pinned by the DuckDB oracles in __spark_entry__.py.
+
+Scale notes (10^12 rows):
+
+* ``decontaminate`` — the eval n-gram set is tiny relative to the corpus
+  (|eval|·grams rows, distinct-ed once) and is broadcast; the corpus side
+  explodes shingles *pipelined over the scan* and probes the broadcast
+  hash table, so fact rows never shuffle to find hits. Only hit rows
+  (bounded by contamination) reach the per-doc count, and the final
+  annotate join is id-keyed. Drop mode anti-joins on the distinct
+  contaminated-id set instead of re-joining counts.
+* ``pack_sequences`` — packing is per-shard (a real pipeline shards by
+  source/date/bucket before packing), so the running token offset is a
+  window partitioned by the shard key: Spark range-partitions shards
+  across executors and no global sort exists. Output is one row per
+  (doc, pack) intersection — ≤ n_docs + total_tokens/seq_len rows.
+* ``vocab_stats`` — classic two-level aggregation: per-(doc,token) partial
+  counts collapse map-side before the shuffle, then per-token totals; the
+  global top-k is TakeOrderedAndProject (no full sort). Term and document
+  frequency come out of one pass.
+
+Everything is deterministic (hash-coin ordering, never ``rand()``) and a
+pure function of the input — identical on re-run, retry, or any
+partitioning, which the resumable checkpoint path requires.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine.corpus.text import bpe_tokens, shingles
+
+
+def eval_grams(eval_docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """The distinct word-n-gram set of an eval/benchmark corpus — the
+    blocklist side of decontamination. Tiny vs the corpus; broadcast it."""
+    return (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("_gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "annotate",
+) -> DataFrame:
+    """Eval-set decontamination: flag (or drop) training documents sharing
+    any word n-gram with the eval corpus — the standard guard against
+    benchmark leakage into training data (the GPT-3 appendix-C procedure,
+    public). Shingles are distinct per doc, so ``n_hit_grams`` counts the
+    *distinct* grams of the doc that appear in the eval set.
+
+    mode="annotate" keeps every row and adds ``n_hit_grams`` (long) and
+    ``contaminated`` (boolean); mode="drop" returns the clean subset with
+    the original schema.
+    """
+    ev = F.broadcast(eval_grams(eval_docs, n, text_col))
+    dg = docs.select(id_col, F.explode(shingles(F.col(text_col), n)).alias("_gram"))
+    hit_ids = dg.join(ev, "_gram")
+    if mode == "drop":
+        return docs.join(hit_ids.select(id_col).distinct(), id_col, "left_anti")
+    if mode != "annotate":
+        raise ValueError(f"mode must be 'annotate' or 'drop', got {mode!r}")
+    hits = hit_ids.groupBy(id_col).agg(F.count("*").alias("n_hit_grams"))
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hit_grams", F.coalesce(F.col("n_hit_grams"), F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("n_hit_grams") > 0)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    n_tokens_col: str,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "afg",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the shard's documents end to
+    end in a deterministic hash order and cut the token stream every
+    ``seq_len`` tokens — the standard pre-training packing scheme (docs may
+    straddle pack boundaries; the trainer masks attention across them).
+
+    Emits one row per (document, pack) intersection:
+
+      pack_id    — 0-based pack index within the shard
+      pack_off   — where the slice starts inside the pack
+      tok_start  — where the slice starts inside the document (0-based)
+      tok_len    — slice length in tokens
+
+    so Σ tok_len per (shard, pack_id) == seq_len for every full pack, and
+    reassembling slices by (pack_id, pack_off) reproduces the shard's
+    token stream exactly. Docs with a non-positive token count are
+    skipped. The order key is (md5(salt|id), id) — a total order, so the
+    packing is unique and identical on any partitioning/re-run.
+
+    All arithmetic is int64 (DIV/mod/min/max), mirrored verbatim in the
+    DuckDB oracle — hash-exact cross-engine.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    ntok = F.col(n_tokens_col).cast("long")
+    order = [F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col))), F.col(id_col)]
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = F.lit(int(seq_len)).cast("long")
+    end = F.sum(ntok).over(w)
+    start = end - ntok
+    d = (
+        docs.where(ntok > 0)
+        .select(
+            id_col,
+            shard_col,
+            ntok.alias("_n"),
+            start.alias("_start"),
+            end.alias("_end"),
+        )
+        .withColumn("_first", F.expr(f"_start DIV {int(seq_len)}"))
+        .withColumn("_last", F.expr(f"(_end - 1) DIV {int(seq_len)}"))
+    )
+    p = F.col("pack_id")
+    pstart = p * L
+    return (
+        d.withColumn("pack_id", F.explode(F.sequence(F.col("_first"), F.col("_last"))))
+        .select(
+            id_col,
+            shard_col,
+            p,
+            (F.greatest(F.col("_start"), pstart) - pstart).alias("pack_off"),
+            (F.greatest(F.col("_start"), pstart) - F.col("_start")).alias("tok_start"),
+            (
+                F.least(F.col("_end"), pstart + L)
+                - F.greatest(F.col("_start"), pstart)
+            ).alias("tok_len"),
+        )
+    )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary statistics: the top-k tokens by total term
+    frequency, with document frequency — the input to tokenizer training,
+    stopword induction, and corpus drift checks.
+
+    One pass: explode BPE-ish tokens of the lowercased text, pre-aggregate
+    per (doc, token) so the wide shuffle carries per-doc partials, then
+    per-token ``term_freq`` (Σ occurrences) and ``doc_freq`` (# docs).
+    Top-k is (term_freq desc, token asc) — a total order, so the result
+    set is unique.
+    """
+    toks = docs.select(
+        id_col, F.explode(bpe_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    per_doc = toks.groupBy(id_col, "token").agg(F.count("*").alias("_c"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.sum("_c").alias("term_freq"), F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(top_k)
+    )

@@ -22,6 +22,10 @@ TAIL = [
     "stratified_sample",
     "exact_k_sample",
     "weighted_mix",
+    # r4 training-set prep family (C19-C21), hash-exact tail oracles
+    "decontaminate",
+    "pack_sequences",
+    "vocab_topk",
 ]
 DRIVER_WINDOW = 50
 
