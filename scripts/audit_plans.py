@@ -323,6 +323,95 @@ def main() -> None:
         "hard-asserted: no cartesian/nested-loop degeneration.",
         nd,
     ))
+    # r4 sampling/mixing (C16-C18): membership must be a per-row predicate
+    # pipelined into the scan — hash_sample/stratified_sample get ZERO
+    # exchanges; weighted_mix's only exchanges run on the |sources|-row
+    # totals frame and the rate table comes back via broadcast.
+    from engine.corpus.sampling import exact_k_sample, stratified_sample, weighted_mix
+
+    dsamp = read_table(spark, SF, "documents").select("doc_id", "source", "n_chars")
+    strat = stratified_sample(dsamp, "source", {"src0": 1.0, "src1": 0.5}, 0.25)
+    secs.append(section(
+        "Deterministic stratified sampling (C16)",
+        "The md5-coin predicate is a pure JVM expression inside the scan's "
+        "WholeStageCodegen span — hard-asserted ZERO exchanges: sampling "
+        "10^12 rows is exactly one pass, and membership survives any "
+        "re-partitioning because nothing here depends on one.",
+        strat,
+        max_exchanges=0,
+    ))
+    wm = weighted_mix(dsamp, {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1})
+    wm_plan = plan_of(wm)
+    assert "BroadcastHashJoin" in wm_plan and "SortMergeJoin" not in wm_plan, (
+        "weighted_mix rate table must come back via broadcast"
+    )
+    secs.append(section(
+        "Source-weighted corpus mixing (C17)",
+        "Fact rows NEVER shuffle: the two exchanges below both run on the "
+        "per-source totals frame (|sources| rows — partial agg collapses "
+        "map-side), and the rate table joins back under BroadcastHashJoin "
+        "(hard-asserted: no SortMergeJoin anywhere).",
+        wm,
+        max_exchanges=2,
+    ))
+    ek = exact_k_sample(dsamp, "source", k=5)
+    secs.append(section(
+        "Exact-k per-stratum sample (C18)",
+        "One window exchange keyed on the stratum (same shape as W6 "
+        "top-k); output bounded by k x |strata|.",
+        ek,
+        max_exchanges=1,
+    ))
+
+    # r4 training-set prep (C19-C21)
+    from engine.corpus.sampling import hash_sample
+    from engine.corpus.text import bpe_tokens
+    from engine.corpus.traindata import decontaminate, pack_sequences, vocab_stats
+
+    dtr = read_table(spark, SF, "documents").select("doc_id", "source", "text")
+    ev = hash_sample(dtr, 0.05, salt="eval")
+    dec = decontaminate(dtr, ev, n=3)
+    dec_plan = plan_of(dec)
+    assert "BroadcastHashJoin" in dec_plan, (
+        "decontaminate gram probe must broadcast the eval gram set"
+    )
+    assert "CartesianProduct" not in dec_plan and "BroadcastNestedLoopJoin" not in dec_plan
+    secs.append(section(
+        "Eval-set decontamination (C19)",
+        "The eval n-gram set is distinct-ed once and BROADCAST "
+        "(hard-asserted); the corpus side explodes shingles pipelined over "
+        "the scan and probes the broadcast table, so fact rows never "
+        "shuffle to find hits — only per-doc hit counts and the id-keyed "
+        "annotate join exchange.",
+        dec,
+        max_exchanges=4,
+    ))
+    packed = pack_sequences(
+        dtr.withColumn("n_tok", F.size(bpe_tokens(F.col("text")))),
+        seq_len=64, n_tokens_col="n_tok",
+    )
+    secs.append(section(
+        "Sequence packing (C20)",
+        "ONE exchange (hard-asserted): the running token offset is a window "
+        "partitioned by the shard key — shards pack independently, no "
+        "global sort; the (doc, pack) explode and all slice arithmetic are "
+        "JVM expressions downstream of it.",
+        packed,
+        max_exchanges=1,
+    ))
+    voc = vocab_stats(dtr, top_k=100)
+    voc_plan = plan_of(voc)
+    assert "TakeOrderedAndProject" in voc_plan, "vocab top-k must not global-sort"
+    secs.append(section(
+        "Corpus vocabulary stats (C21)",
+        "Two exchanges (hard-asserted): per-(doc,token) partials collapse "
+        "map-side before the first, per-token totals before the second; the "
+        "global top-k is TakeOrderedAndProject (hard-asserted — never a "
+        "full sort of the vocabulary).",
+        voc,
+        max_exchanges=2,
+    ))
+
     from engine import cache as _cache
 
     _cache.release_all()
