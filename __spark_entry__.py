@@ -774,6 +774,17 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, seq_len=64, n_tokens_col="n_tok")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Intra-doc repetition filters (engine/corpus/text.py, SURVEY.md §2.10
+    C22): duplicate word / 2-gram / 3-gram fractions + threshold flag — the
+    Gopher-style boilerplate filter cross-doc dedup can't see. Exact
+    integer-ratio doubles, mirrored in the DuckDB oracle."""
+    from engine.corpus.text import repetition_stats
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return repetition_stats(d).drop("text")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary stats (C21): top-100 tokens by term frequency with
     document frequency, via per-(doc,token) pre-agg then per-token totals
@@ -801,6 +812,17 @@ def _shingles_sql(n: int = 3, w: str = "w") -> str:
         f"list_sort(list_distinct(CASE WHEN len({w}) < {n} "
         f"THEN [array_to_string({w}, ' ')] "
         f"ELSE list_transform(range(1, len({w}) - {n - 2}), i -> {grams}) END))"
+    )
+
+
+def _grams_all_sql(n: int, w: str = "w") -> str:
+    """Non-distinct word-n-gram expression over a word-array column ``w``
+    (engine/corpus/text.py::grams_all — repetition detection keeps
+    multiplicity, unlike _shingles_sql)."""
+    grams = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(n)).replace(f"{w}[i+0]", f"{w}[i]")
+    return (
+        f"CASE WHEN len({w}) < {n} THEN [array_to_string({w}, ' ')] "
+        f"ELSE list_transform(range(1, len({w}) - {n - 2}), i -> {grams}) END"
     )
 
 
@@ -1216,6 +1238,31 @@ SELECT doc_id, source,
        CAST(greatest(st, p * 64) - st AS BIGINT) AS tok_start,
        CAST(least(e, (p + 1) * 64) - greatest(st, p * 64) AS BIGINT) AS tok_len
 FROM x
+""",
+        # intra-doc repetition: same non-distinct gram lists, exact
+        # integer-ratio double fractions, same thresholds
+        "repetition_stats": f"""
+WITH wt AS (SELECT doc_id, source, {_W} AS w FROM documents),
+g AS (
+  SELECT doc_id, source, w,
+         {_grams_all_sql(2)} AS g2,
+         {_grams_all_sql(3)} AS g3
+  FROM wt
+),
+fr AS (
+  SELECT doc_id, source,
+    CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS dup_word_frac,
+    CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+      AS dup_2gram_frac,
+    CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+      AS dup_3gram_frac
+  FROM g
+)
+SELECT *,
+       dup_word_frac > 0.30 OR dup_2gram_frac > 0.20 OR dup_3gram_frac > 0.18
+         AS is_repetitive
+FROM fr
 """,
         # vocabulary stats: same two-level aggregation + total-order top-k
         "vocab_topk": f"""
@@ -1650,6 +1697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        # r4 C22: intra-doc repetition filters — hash-exact oracle,
+        # pytest tail-checked
+        "repetition_stats": q_repetition_stats,
     }
 
 

@@ -135,6 +135,63 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+def grams_all(w: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity, in document order (the non-distinct
+    counterpart of ``shingles`` — repetition detection needs duplicates).
+    Texts shorter than n words yield the whole text as a single gram."""
+    return F.when(
+        F.size(w) < n, F.array(F.concat_ws(" ", w))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        )
+    )
+
+
+# Repetition thresholds (public Gopher-paper-style repetition filters,
+# Rae et al. 2021 §A1.1 — adapted to word/n-gram duplicate fractions).
+REP_DUP_WORD_MAX = 0.30
+REP_DUP_2GRAM_MAX = 0.20
+REP_DUP_3GRAM_MAX = 0.18
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals — the quality filter that catches
+    boilerplate/spam which *cross-doc* dedup (C1-C6) never sees:
+
+      dup_word_frac   = 1 - |distinct words| / |words|
+      dup_2gram_frac  = 1 - |distinct 2-grams| / |2-grams|
+      dup_3gram_frac  = 1 - |distinct 3-grams| / |3-grams|
+      is_repetitive   = any fraction above its threshold
+
+    Case-insensitive. Every fraction is an exact integer-ratio IEEE double
+    (no rounding), so the DuckDB oracle is bit-identical. Pure per-row JVM
+    expressions — no shuffle, pipelined into the scan at any corpus size.
+    """
+    from engine.io import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    w = words(F.lower(F.col(text_col)))
+
+    def dup_frac(arr: Column) -> Column:
+        return (F.size(arr) - F.size(F.array_distinct(arr))).cast("double") / F.size(
+            arr
+        ).cast("double")
+
+    out = (
+        df.withColumn("dup_word_frac", dup_frac(w))
+        .withColumn("dup_2gram_frac", dup_frac(grams_all(w, 2)))
+        .withColumn("dup_3gram_frac", dup_frac(grams_all(w, 3)))
+    )
+    return out.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > REP_DUP_WORD_MAX)
+        | (F.col("dup_2gram_frac") > REP_DUP_2GRAM_MAX)
+        | (F.col("dup_3gram_frac") > REP_DUP_3GRAM_MAX),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: full-content md5 plus a rolling min-hash over
     3-word shingles (= MinHash with k=1) — the cheap near-dup prefilter.

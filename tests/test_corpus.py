@@ -2,6 +2,7 @@
 multimodal plumbing — pandas/numpy-oracle tests per SURVEY.md §5.1."""
 
 import hashlib
+import re
 import itertools
 
 import numpy as np
@@ -361,3 +362,37 @@ def test_ensure_min_parallelism_widens_and_noops(spark):
     assert widened.count() == 1000
     same = ensure_min_parallelism(wide)
     assert same is wide  # no repartition inserted
+
+
+def test_repetition_stats_matches_python(docs, docs_pdf):
+    """C22 python oracle: duplicate word/2-gram/3-gram fractions are exact
+    integer-ratio doubles; the flag is the OR of the three thresholds."""
+    from engine.corpus.text import (
+        REP_DUP_2GRAM_MAX,
+        REP_DUP_3GRAM_MAX,
+        REP_DUP_WORD_MAX,
+        repetition_stats,
+    )
+
+    def fracs(text):
+        w = re.split(r"\s+", text.strip().lower())
+        out = []
+        for n in (1, 2, 3):
+            if len(w) < n:
+                g = [" ".join(w)]
+            else:
+                g = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            out.append((len(g) - len(set(g))) / len(g))
+        return tuple(out)
+
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    flagged = 0
+    for row in docs_pdf.itertuples():
+        dw, d2, d3 = fracs(row.text)
+        r = got[row.doc_id]
+        assert (r.dup_word_frac, r.dup_2gram_frac, r.dup_3gram_frac) == (dw, d2, d3)
+        expect_flag = dw > REP_DUP_WORD_MAX or d2 > REP_DUP_2GRAM_MAX or d3 > REP_DUP_3GRAM_MAX
+        assert r.is_repetitive == expect_flag, row.doc_id
+        flagged += expect_flag
+    # the synthetic corpus repeats phrases: both classes must be present
+    assert 0 < flagged < len(docs_pdf)

@@ -26,6 +26,7 @@ TAIL = [
     "decontaminate",
     "pack_sequences",
     "vocab_topk",
+    "repetition_stats",  # r4 C22: intra-doc repetition filters
 ]
 DRIVER_WINDOW = 50
 
