@@ -774,6 +774,17 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(d, seq_len=64, n_tokens_col="n_tok")
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-doc top-5 tf-idf terms (engine/corpus/traindata.py, SURVEY.md
+    §2.10 C23): ratio idf (log-free, so the score tree is bit-exact in
+    DuckDB), token tie-break, row_number ≤ 5. Oracle = identical two-level
+    aggregation + window."""
+    from engine.corpus.traindata import tfidf_topk_terms
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk_terms(d, k=5)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Intra-doc repetition filters (engine/corpus/text.py, SURVEY.md §2.10
     C22): duplicate word / 2-gram / 3-gram fractions + threshold flag — the
@@ -1239,6 +1250,28 @@ SELECT doc_id, source,
        CAST(least(e, (p + 1) * 64) - greatest(st, p * 64) AS BIGINT) AS tok_len
 FROM x
 """,
+        # tf-idf: same tf/df/N aggregates, identical IEEE score tree
+        # (tf * (N+1) / (df+1)), same (score desc, token) rank order
+        "tfidf_terms": f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, token),
+dfx AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) + 1.0)
+           / (CAST(dfx.df AS DOUBLE) + 1.0) AS score
+  FROM tf JOIN dfx USING (token), nn
+)
+SELECT doc_id, token, tf, df, score,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, token
+       ) AS INTEGER) AS term_rank
+FROM s QUALIFY term_rank <= 5
+""",
         # intra-doc repetition: same non-distinct gram lists, exact
         # integer-ratio double fractions, same thresholds
         "repetition_stats": f"""
@@ -1697,9 +1730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
-        # r4 C22: intra-doc repetition filters — hash-exact oracle,
-        # pytest tail-checked
+        # r4 C22-C23: intra-doc repetition filters + per-doc tf-idf terms —
+        # hash-exact oracles, pytest tail-checked
         "repetition_stats": q_repetition_stats,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 

@@ -154,6 +154,56 @@ def pack_sequences(
     )
 
 
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by a tf-idf score — keyword/topic features
+    over the token axis (the classic text feature-engineering primitive).
+
+    score = tf · (N + 1) / (df + 1), a RATIO idf rather than log idf: for
+    any fixed tf it ranks terms identically (both are strictly decreasing
+    in df), and being a fixed tree of exactly-rounded IEEE ops (no
+    transcendentals) it is bit-identical in the DuckDB oracle, where
+    ln()'s last ulp is libm- vs JVM-dependent. Rank ties break on the
+    token, so the per-doc top-k set is unique.
+
+    Lazily composed — no driver-side count(): N is a 1-row aggregate
+    cross-joined back, df a per-token frame joined back; both sides of
+    those joins are broadcast. The tf frame feeds three consumers (scores,
+    df, N), so it is persisted via ``tracked_persist`` — without it Spark
+    re-runs the corpus scan + token explode per consumer (the plan audit
+    hard-gates this as InMemoryTableScan). Fact-scale exchanges:
+    per-(doc,token) tf, then the per-doc top-k window; the caller's
+    pipeline barrier releases the cache (`engine/cache.py`).
+    """
+    from engine.cache import tracked_persist
+
+    toks = docs.select(
+        id_col, F.explode(bpe_tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = tracked_persist(toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")))
+    dfx = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = tf.agg(F.countDistinct(id_col).alias("_n"))
+    score = (
+        F.col("tf").cast("double")
+        * (F.col("_n").cast("double") + F.lit(1.0))
+        / (F.col("df").cast("double") + F.lit(1.0))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "token")
+    return (
+        tf.join(F.broadcast(dfx), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .drop("_n")
+        .withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "term_rank")
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     top_k: int = 100,

@@ -27,6 +27,7 @@ TAIL = [
     "pack_sequences",
     "vocab_topk",
     "repetition_stats",  # r4 C22: intra-doc repetition filters
+    "tfidf_terms",       # r4 C23: per-doc tf-idf top-k terms
 ]
 DRIVER_WINDOW = 50
 

@@ -116,3 +116,32 @@ def test_vocab_stats_python_counter(docs):
     assert [(r.token, r.term_freq) for r in out] == expect
     for r in out:
         assert r.doc_freq == df_[r.token], r.token
+
+
+def test_tfidf_topk_python_oracle(docs):
+    from engine.corpus.traindata import tfidf_topk_terms
+
+    out = tfidf_topk_terms(docs, k=3).collect()
+    tf, df_ = {}, Counter()
+    rows = docs.collect()
+    for r in rows:
+        c = Counter(re.findall(TOKEN_RE, r.text.lower()))
+        tf[r.doc_id] = c
+        df_.update(c.keys())
+    n = len([r for r in rows if tf[r.doc_id]])
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, c in tf.items():
+        if not c:
+            assert doc_id not in by_doc
+            continue
+        scored = sorted(
+            ((t, cnt, cnt * (n + 1) / (df_[t] + 1)) for t, cnt in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:3]
+        got = sorted(by_doc[doc_id], key=lambda r: r.term_rank)
+        assert [(g.token, g.tf) for g in got] == [(t, cnt) for t, cnt, _ in scored]
+        for g, (t, cnt, s) in zip(got, scored):
+            assert g.score == pytest.approx(s, rel=1e-12) and g.df == df_[t]
+        assert [g.term_rank for g in got] == list(range(1, len(got) + 1))
