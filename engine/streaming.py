@@ -8,6 +8,7 @@ engine streaming-portable with the same entity/event-time semantics:
 | rolling_aggregates (W5)      | ``windowed_agg`` (tumbling/sliding)       |
 | sessionize (W4)              | ``session_window_agg`` (works in batch too)|
 | forward_fill / as-of state   | ``stateful_ffill`` (applyInPandasWithState)|
+| exact dedup (C1) / replay    | ``streaming_exact_dedup`` (watermark state) |
 
 Scale notes: streaming state is keyed by entity — the same hash
 partitioning as the batch windows, so the shuffle profile is identical;
@@ -88,6 +89,30 @@ def session_window_agg(
             *[f"{c}_{fn}" for c, fns in (aggs or {}).items() for fn in fns],
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts: str | None = None,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming analogue of C1 exact dedup (and of exactly-once event
+    replay protection): keep the first occurrence of each key across
+    micro-batches. For content dedup pass a hash key column (e.g.
+    ``md5(text)``), exactly like the batch operator.
+
+    With ``ts`` set, uses ``dropDuplicatesWithinWatermark`` — dedup state
+    is EVICTED once the watermark passes a key's event time, so state size
+    is bounded by the key arrival rate × delay instead of growing with the
+    corpus (the only viable mode on an unbounded stream; a duplicate
+    arriving later than ``watermark`` after its first occurrence re-emits,
+    which is the documented trade). Without ``ts``, plain ``dropDuplicates``
+    keeps exact all-time state (bounded key domains only). Works on batch
+    DataFrames too, where both forms reduce to DISTINCT-by-key."""
+    if ts is not None:
+        return with_watermark(df, ts, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return df.dropDuplicates(key_cols)
 
 
 def stateful_ffill(

@@ -220,3 +220,54 @@ def test_stateful_ffill_integer_batch_with_null_state(spark, tmp_path):
     assert k1 == [10.0, 10.0]
     k2 = got[got.k == 2].sort_values("ts")["v_f"].tolist()
     assert k2 == [20.0, 7.0]
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming C1: a replayed stream (every event twice, across several
+    micro-batches) dedups back to the batch-distinct result, in both the
+    watermarked (state-evicting) and all-time-state modes."""
+    from engine.streaming import streaming_exact_dedup
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    src = str(tmp_path / "dedup_src")
+    # duplicate the whole input and spread over files -> replay arrives in
+    # a different micro-batch than the original
+    e.union(e).repartition(6).write.mode("overwrite").parquet(src)
+    n_expect = e.count()
+
+    stream = file_stream(spark, src, e.schema)
+    # watermarked mode: the fixture's ts span is far below the delay, so no
+    # state is evicted mid-run and the result is exactly batch-distinct
+    got = run_available_now(
+        streaming_exact_dedup(stream, ["event_id"], ts="ts", watermark="8760 hours"),
+        "dedup_wm_test", output_mode="append",
+    ).toPandas()
+    assert len(got) == n_expect
+    assert got.event_id.is_unique
+
+    stream2 = file_stream(spark, src, e.schema)
+    got2 = run_available_now(
+        streaming_exact_dedup(stream2, ["event_id"]),
+        "dedup_all_test", output_mode="append",
+    ).toPandas()
+    assert len(got2) == n_expect and got2.event_id.is_unique
+    # batch mode reduces to DISTINCT-by-key
+    assert streaming_exact_dedup(e.union(e), ["event_id"]).count() == n_expect
+
+
+def test_streaming_content_dedup_matches_batch_exact_dedup(spark, sf_dir, tmp_path):
+    """Content-hash streaming dedup keeps exactly one doc per distinct text
+    — same keeper count as the batch C1 operator."""
+    from engine.streaming import streaming_exact_dedup
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_distinct = d.select(F.md5("text")).distinct().count()
+    src = str(tmp_path / "cdedup_src")
+    d.repartition(4).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, d.schema).withColumn("content_key", F.md5("text"))
+    got = run_available_now(
+        streaming_exact_dedup(stream, ["content_key"]),
+        "cdedup_test", output_mode="append",
+    ).toPandas()
+    assert len(got) == n_distinct
+    assert got.content_key.is_unique
