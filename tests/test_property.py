@@ -94,3 +94,59 @@ def test_rolling_prefix_equals_frame_exactly(sess, rows, win):
     suf = f"{win}s"
     assert pa[f"v_count_{suf}"].tolist() == pb[f"v_count_{suf}"].tolist()
     assert pa[f"v_sum_{suf}"].fillna("∅").tolist() == pb[f"v_sum_{suf}"].fillna("∅").tolist()
+
+
+_pack_strat = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 40)),  # (shard, n_tok)
+    min_size=1, max_size=30,
+)
+
+
+@given(docs=_pack_strat, seq_len=st.integers(1, 17))
+@settings(**_SETTINGS)
+def test_pack_sequences_slice_algebra_property(sess, docs, seq_len):
+    """C20 on arbitrary token-length distributions: slices reassemble each
+    doc exactly, every non-final pack is exactly full, pack offsets tile
+    [0, seq_len) gap-free, zero-length docs are skipped."""
+    from engine.corpus.traindata import pack_sequences
+
+    spark = sess
+    rows = [(i, f"s{s}", n) for i, (s, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = pack_sequences(df, seq_len, "n_tok", shard_col="source").toPandas()
+    ntok = {i: n for i, (_, n) in enumerate(docs) if n > 0}
+    assert set(out.doc_id) == set(ntok)
+    for doc_id, g in out.sort_values("pack_id").groupby("doc_id"):
+        assert g.tok_len.sum() == ntok[doc_id]
+        assert g.tok_start.iloc[0] == 0
+        assert list(g.tok_start)[1:] == list((g.tok_start + g.tok_len))[:-1]
+    for (src, pid), g in out.groupby(["source", "pack_id"]):
+        g = g.sort_values("pack_off")
+        assert g.pack_off.iloc[0] == 0
+        assert list(g.pack_off)[1:] == list((g.pack_off + g.tok_len))[:-1]
+        assert (g.pack_off + g.tok_len).max() <= seq_len
+        if pid < out[out.source == src].pack_id.max():
+            assert g.tok_len.sum() == seq_len
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    r1=st.floats(0.0, 1.0, allow_nan=False),
+    r2=st.floats(0.0, 1.0, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_hash_sample_rate_nesting_property(sess, ids, r1, r2):
+    """C16 on arbitrary ids/rates: thresholds over one fixed coin nest —
+    sample(min) ⊆ sample(max) — and membership matches the python coin."""
+    import hashlib
+
+    from engine.corpus.sampling import hash_sample, rate_threshold
+
+    spark = sess
+    lo, hi = sorted([r1, r2])
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    s_lo = {r.doc_id for r in hash_sample(df, lo).collect()}
+    s_hi = {r.doc_id for r in hash_sample(df, hi).collect()}
+    assert s_lo <= s_hi
+    coin = lambda i: int(hashlib.md5(f"afg|{i}".encode()).hexdigest()[:4], 16)
+    assert s_hi == {i for i in ids if coin(i) < rate_threshold(hi)}
