@@ -808,11 +808,62 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_stats(d, top_k=100)
 
 
+def _pii_augmented(d):
+    """Deterministically inject PII spans into the synthetic corpus (the
+    fixture text has none): email on doc_id%7, IPv4 on %11, phone on %13 —
+    pure integer/string arithmetic mirrored verbatim in the oracle SQL, so
+    both engines scrub the identical augmented text."""
+    did = F.col("doc_id")
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10."), (did % 200).cast("string"),
+                    F.lit(".0."), (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" call +1 555 867 5"), (did % 900 + 100).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (engine/corpus/privacy.py, SURVEY.md §2.10
+    C24): per-doc email/IPv4/phone counts + placeholder-masked text, pure
+    per-row JVM regexp (RE2-portable patterns, fixed redaction order).
+    Hash-exact: the oracle runs the same regexes over the same
+    deterministically-augmented text."""
+    from engine.corpus.privacy import pii_scrub
+
+    d = _pii_augmented(
+        read_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    return pii_scrub(d).select(
+        "doc_id", "source", "n_emails", "n_ipv4", "n_phones", "has_pii",
+        "redacted_text",
+    )
+
+
 # ---- DuckDB oracle SQL builders (mirror engine/corpus expressions) ----
 
 _W = "string_split(trim(lower(text)), ' ')"
 _W_NOLOWER = "string_split(trim(text), ' ')"
 _TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# PII patterns (engine/corpus/privacy.py) — constructs with identical
+# semantics in Java regex and RE2
+_EMAIL_RE_SQL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_IPV4_RE_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PHONE_RE_SQL = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
 def _shingles_sql(n: int = 3, w: str = "w") -> str:
@@ -1312,6 +1363,37 @@ a AS (
 SELECT token, term_freq, doc_freq FROM a
 ORDER BY term_freq DESC, token LIMIT 100
 """,
+        # PII scrub: same RE2-portable regexes over the same augmented
+        # text; counts on the original, redaction chained in the same
+        # fixed order (email -> ipv4 -> phone)
+        "pii_scrub": f"""
+WITH aug AS (
+  SELECT doc_id, source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call +1 555 867 5' || (doc_id % 900 + 100) ELSE '' END
+      AS t
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(len(regexp_extract_all(t, '{_EMAIL_RE_SQL}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(t, '{_IPV4_RE_SQL}')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '{_PHONE_RE_SQL}')) AS INTEGER) AS n_phones,
+  len(regexp_extract_all(t, '{_EMAIL_RE_SQL}')) > 0
+    OR len(regexp_extract_all(t, '{_IPV4_RE_SQL}')) > 0
+    OR len(regexp_extract_all(t, '{_PHONE_RE_SQL}')) > 0 AS has_pii,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{_EMAIL_RE_SQL}', '<EMAIL>', 'g'),
+      '{_IPV4_RE_SQL}', '<IP>', 'g'),
+    '{_PHONE_RE_SQL}', '<PHONE>', 'g') AS redacted_text
+FROM aug
+""",
     }
 
 
@@ -1734,6 +1816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-exact oracles, pytest tail-checked
         "repetition_stats": q_repetition_stats,
         "tfidf_terms": q_tfidf_terms,
+        # r4 C24: PII detection/redaction — hash-exact oracle,
+        # pytest tail-checked
+        "pii_scrub": q_pii_scrub,
     }
 
 

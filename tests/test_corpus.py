@@ -396,3 +396,35 @@ def test_repetition_stats_matches_python(docs, docs_pdf):
         flagged += expect_flag
     # the synthetic corpus repeats phrases: both classes must be present
     assert 0 < flagged < len(docs_pdf)
+
+
+def test_pii_scrub_matches_python(spark):
+    """C24 python-``re`` oracle on crafted rows: counts are non-overlapping
+    leftmost matches, redaction applies the fixed pattern order, and
+    pii-free text passes through byte-identical."""
+    from engine.corpus.privacy import PII_PATTERNS, pii_scrub
+
+    rows = [
+        (0, "reach me at john.doe+spam@ex-ample.co.uk or 10.0.0.1"),
+        (1, "call +1 (555) 123-4567 now; backup 555 867 5309."),
+        (2, "ip 999.12.3.4 edge, a@b.c not-an-email a@@b.com"),
+        (3, "two mails x@y.io z@w.dev and 8.8.8.8 plus 555 123 9876"),
+        (4, "no pii here at all"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for doc_id, text in rows:
+        counts = {
+            name: len(re.findall(pat, text)) for name, pat, _ in PII_PATTERNS
+        }
+        red = text
+        for _, pat, placeholder in PII_PATTERNS:
+            red = re.sub(pat, placeholder, red)
+        r = got[doc_id]
+        assert (r.n_emails, r.n_ipv4, r.n_phones) == (
+            counts["email"], counts["ipv4"], counts["phone"],
+        ), text
+        assert r.has_pii == (sum(counts.values()) > 0)
+        assert r.redacted_text == red, text
+    assert got[4].redacted_text == "no pii here at all"

@@ -28,6 +28,7 @@ TAIL = [
     "vocab_topk",
     "repetition_stats",  # r4 C22: intra-doc repetition filters
     "tfidf_terms",       # r4 C23: per-doc tf-idf top-k terms
+    "pii_scrub",         # r4 C24: PII detection/redaction
 ]
 DRIVER_WINDOW = 50
 
