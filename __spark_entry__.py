@@ -808,6 +808,49 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_stats(d, top_k=100)
 
 
+def q_length_buckets(spark, sf_dir):
+    """Sequence-length bucketing (engine/corpus/traindata.py::length_buckets,
+    SURVEY.md §2.10 C26): pad-to-bucket batch-scheduling prep — per pow2
+    bucket: doc count, effective tokens, truncation loss, exact pad-waste
+    fraction. Oracle = same literal edge array + integer-ratio arithmetic."""
+    from engine.corpus.text import bpe_tokens
+    from engine.corpus.traindata import length_buckets
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tok", F.size(bpe_tokens(F.col("text"))))
+    )
+    return length_buckets(d, "n_tok")
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """G9 quantile sketch with an in-query error-bound gate
+    (engine/transforms/table.py::quantile_sketch_gate): exact positional
+    p50/p90 in integer cents are hash-checked; percentile_approx
+    (Greenwald-Khanna, accuracy=100) is asserted inside its published
+    rank-error guarantee — a drifting sketch flips approx_ok and breaks
+    the value hash (same pattern as approx_distinct's 5×rsd bound)."""
+    from engine.transforms.table import quantile_sketch_gate
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return quantile_sketch_gate(e, "event_type", "cents", qs=(0.5, 0.9), accuracy=100)
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus token-bigram stats (engine/corpus/traindata.py::ngram_topk,
+    SURVEY.md §2.10 C25): top-100 bigrams by total frequency with document
+    frequency — phrase-vocabulary induction / n-gram-LM count table. Same
+    map-side-combine two-level aggregation as vocab_topk; (freq desc, gram)
+    total order. Oracle = identical gram derivation + aggregation."""
+    from engine.corpus.traindata import ngram_topk
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_topk(d, n=2, top_k=100)
+
+
 def _pii_augmented(d):
     """Deterministically inject PII spans into the synthetic corpus (the
     fixture text has none): email on doc_id%7, IPv4 on %11, phone on %13 —
@@ -1363,6 +1406,70 @@ a AS (
 SELECT token, term_freq, doc_freq FROM a
 ORDER BY term_freq DESC, token LIMIT 100
 """,
+        # length buckets: same literal edge array, least()-clamp, and
+        # integer-ratio pad-waste arithmetic
+        "length_buckets": f"""
+WITH d AS (
+  SELECT CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT list_min(list_filter([16, 32, 64, 128, 256, 512, 1024, 2048],
+                              e -> e >= least(n, 2048))) AS seq_bucket,
+         least(n, 2048) AS eff, n - least(n, 2048) AS trunc
+  FROM d
+)
+SELECT CAST(seq_bucket AS BIGINT) AS seq_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(eff) AS BIGINT) AS sum_tokens,
+       CAST(sum(trunc) AS BIGINT) AS truncated_tokens,
+       1.0 - CAST(sum(eff) AS DOUBLE)
+           / CAST(seq_bucket * count(*) AS DOUBLE) AS pad_waste_frac
+FROM b GROUP BY seq_bucket
+""",
+        # quantile sketch gate: exact lower quantiles at rank
+        # floor(q*(n-1))+1 (identical IEEE floor tree); oracle emits TRUE —
+        # a GK sketch outside its rank guarantee breaks the hash on approx_ok
+        "approx_quantiles": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+  max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS p5_exact,
+  max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN cents END) AS p9_exact,
+  TRUE AS approx_ok
+FROM r GROUP BY event_type
+""",
+        # token bigrams: same derivation (BPE-ish regex over lowercased
+        # text, docs shorter than n tokens contribute nothing), same
+        # two-level aggregation + total-order top-k
+        "ngram_topk": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS tk
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END
+  ) AS gram
+  FROM t
+),
+pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+a AS (
+  SELECT gram, CAST(sum(c) AS BIGINT) AS gram_freq,
+         CAST(count(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY gram
+)
+SELECT gram, gram_freq, doc_freq FROM a
+ORDER BY gram_freq DESC, gram LIMIT 100
+""",
         # PII scrub: same RE2-portable regexes over the same augmented
         # text; counts on the original, redaction chained in the same
         # fixed order (email -> ipv4 -> phone)
@@ -1819,6 +1926,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 C24: PII detection/redaction — hash-exact oracle,
         # pytest tail-checked
         "pii_scrub": q_pii_scrub,
+        # r4 C25: corpus token-bigram stats — hash-exact oracle,
+        # pytest tail-checked
+        "ngram_topk": q_ngram_topk,
+        # r4 G9: quantile sketch with exact positional values + GK
+        # rank-error gate — hash-exact oracle, pytest tail-checked
+        "approx_quantiles": q_approx_quantiles,
+        # r4 C26: sequence-length bucketing — hash-exact oracle,
+        # pytest tail-checked
+        "length_buckets": q_length_buckets,
     }
 
 

@@ -204,6 +204,101 @@ def tfidf_topk_terms(
     )
 
 
+def token_ngrams(c: Column, n: int) -> Column:
+    """Token n-grams WITH multiplicity, in document order, over the BPE-ish
+    pre-tokenization (space-joined; the regex never emits a token containing
+    a space, so the join is unambiguous). Documents shorter than n tokens
+    contribute nothing — n-gram LM counting semantics, unlike ``shingles``'
+    whole-text fallback (set semantics for Jaccard)."""
+    t = bpe_tokens(F.lower(c))
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram statistics (C25): the top-k token n-grams by total
+    term frequency with document frequency — the language-model-flavored
+    sibling of ``vocab_stats`` (n=1): phrase-vocabulary induction, corpus
+    drift checks, and the count table behind n-gram LM quality filters.
+
+    Same two-level aggregation scheme as ``vocab_stats``: explode pipelined
+    over the scan, per-(doc, gram) partials collapse map-side before the
+    wide shuffle, global top-k is TakeOrderedAndProject (no full sort).
+    (gram_freq desc, gram asc) is a total order — the result set is unique.
+    """
+    grams = docs.select(
+        id_col, F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    per_doc = grams.groupBy(id_col, "gram").agg(F.count("*").alias("_c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.sum("_c").alias("gram_freq"), F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("gram_freq"), "gram")
+        .limit(top_k)
+    )
+
+
+DEFAULT_BUCKET_EDGES = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_buckets(
+    docs: DataFrame,
+    n_tokens_col: str,
+    edges: Sequence[int] = DEFAULT_BUCKET_EDGES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-length bucketing (C26): assign each document to the
+    smallest bucket edge ≥ its token count — the batch-scheduling prep
+    for pad-to-bucket training (docs longer than the max edge are
+    truncated to it, the standard max-sequence-length cut). Per bucket:
+
+      n_docs            — documents assigned
+      sum_tokens        — Σ effective (post-truncation) tokens
+      truncated_tokens  — Σ tokens cut by the max-edge clamp
+      pad_waste_frac    — 1 − sum_tokens / (bucket · n_docs), the fraction
+                          of padded batch slots wasted (exact
+                          integer-ratio IEEE double)
+
+    Bucket assignment is a pure per-row JVM expression over a literal
+    edge array (``array_min(filter(edges, e -> e ≥ len))``) pipelined
+    into the scan; the aggregation is one |edges|-row hash agg with
+    map-side combine. Zero-token docs land in the smallest bucket.
+    """
+    if list(edges) != sorted(set(int(e) for e in edges)) or not edges:
+        raise ValueError(f"edges must be sorted unique non-empty, got {edges!r}")
+    ntok = F.col(n_tokens_col).cast("long")
+    max_edge = F.lit(int(edges[-1])).cast("long")
+    eff = F.least(ntok, max_edge)
+    arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
+    bucket = F.array_min(F.filter(arr, lambda e: e >= eff))
+    b = docs.select(
+        bucket.alias("seq_bucket"),
+        eff.alias("_eff"),
+        (ntok - eff).alias("_trunc"),
+    )
+    out = b.groupBy("seq_bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_eff").alias("sum_tokens"),
+        F.sum("_trunc").alias("truncated_tokens"),
+    )
+    return out.withColumn(
+        "pad_waste_frac",
+        F.lit(1.0)
+        - F.col("sum_tokens").cast("double")
+        / (F.col("seq_bucket") * F.col("n_docs")).cast("double"),
+    )
+
+
 def vocab_stats(
     docs: DataFrame,
     top_k: int = 100,

@@ -109,3 +109,69 @@ def make_grouped_agg_udaf(fn: Callable[[pd.Series], float], return_type: str = "
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(fn, return_type)
+
+
+def quantile_sketch_gate(
+    df: DataFrame,
+    key: str | Sequence[str],
+    col: str,
+    qs: Sequence[float] = (0.5, 0.9),
+    accuracy: int = 100,
+) -> DataFrame:
+    """G9: per-key EXACT positional quantiles plus an in-query error-bound
+    gate on the ``percentile_approx`` sketch (Greenwald-Khanna) — the same
+    verification pattern as ``approx_distinct``'s 5×rsd bound: the exact
+    values are hash-checked against the oracle, and a sketch that ever
+    drifts outside its published guarantee flips ``approx_ok`` and breaks
+    the value hash.
+
+    Semantics: ``col`` must be an exact integer column (e.g. cents).
+    For each q, the exact quantile is the element at 1-based rank
+    ``floor(q·(n−1)) + 1`` of the sorted multiset (lower / type-1 quantile
+    — interpolation-free, so engine float-quantile differences cannot
+    appear). GK with ``accuracy`` a guarantees rank error ≤ n/a; the gate
+    asserts the sketch value lies between the exact values at ranks
+    rank ∓ (⌊n/a⌋+1), clamped to [1, n].
+
+    Scale: one window shuffle keyed on ``key`` (rank assignment) + one
+    hash agg — the value at a rank is well-defined under ties, so
+    row_number tie order is irrelevant. The sketch side is a separate
+    per-key agg joined back on the tiny key frame.
+    """
+    keys = _as_list(key)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(col).asc())
+    n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    r = df.select(*keys, col).withColumn("_rn", F.row_number().over(w)).withColumn("_n", n)
+    err = F.floor(F.col("_n") / accuracy) + 1
+    picks = []
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        rq = F.floor(F.lit(q) * (F.col("_n") - 1)) + 1
+        for nm, rank in (
+            (f"{tag}_exact", rq),
+            (f"{tag}_lo", F.greatest(F.lit(1).cast("long"), rq - err)),
+            (f"{tag}_hi", F.least(F.col("_n").cast("long"), rq + err)),
+        ):
+            picks.append(F.max(F.when(F.col("_rn") == rank, F.col(col))).alias(nm))
+    exact = r.groupBy(*keys).agg(F.max("_n").alias("n"), *picks)
+    sketch = df.groupBy(*keys).agg(
+        *[
+            F.percentile_approx(col, q, accuracy).alias(
+                f"{str(q).replace('0.', 'p')}_approx"
+            )
+            for q in qs
+        ]
+    )
+    ok = F.lit(True)
+    for q in qs:
+        tag = str(q).replace("0.", "p")
+        ok = ok & F.col(f"{tag}_approx").between(F.col(f"{tag}_lo"), F.col(f"{tag}_hi"))
+    out = exact.join(sketch, keys)
+    return out.select(
+        *keys,
+        "n",
+        *[F.col(f"{str(q).replace('0.', 'p')}_exact") for q in qs],
+        ok.alias("approx_ok"),
+    )

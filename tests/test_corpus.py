@@ -428,3 +428,23 @@ def test_pii_scrub_matches_python(spark):
         assert r.has_pii == (sum(counts.values()) > 0)
         assert r.redacted_text == red, text
     assert got[4].redacted_text == "no pii here at all"
+
+
+def test_ngram_topk_matches_python(docs, docs_pdf):
+    """C25 python-Counter oracle: bigram totals, doc frequency, and the
+    (freq desc, gram) top-k total order; sub-n-token docs contribute 0."""
+    from collections import Counter
+
+    from engine.corpus.text import TOKEN_RE
+    from engine.corpus.traindata import ngram_topk
+
+    tf, dfc = Counter(), Counter()
+    for row in docs_pdf.itertuples():
+        toks = re.findall(TOKEN_RE, row.text.lower())
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        tf.update(grams)
+        dfc.update(set(grams))
+    expect = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = ngram_topk(docs, n=2, top_k=50).collect()
+    assert [(r.gram, r.gram_freq) for r in got] == expect
+    assert all(r.doc_freq == dfc[r.gram] for r in got)

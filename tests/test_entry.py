@@ -29,6 +29,9 @@ TAIL = [
     "repetition_stats",  # r4 C22: intra-doc repetition filters
     "tfidf_terms",       # r4 C23: per-doc tf-idf top-k terms
     "pii_scrub",         # r4 C24: PII detection/redaction
+    "ngram_topk",        # r4 C25: corpus token-bigram stats
+    "approx_quantiles",  # r4 G9: quantile sketch + exact positional gate
+    "length_buckets",    # r4 C26: sequence-length bucketing
 ]
 DRIVER_WINDOW = 50
 

@@ -145,3 +145,28 @@ def test_tfidf_topk_python_oracle(docs):
         for g, (t, cnt, s) in zip(got, scored):
             assert g.score == pytest.approx(s, rel=1e-12) and g.df == df_[t]
         assert [g.term_rank for g in got] == list(range(1, len(got) + 1))
+
+
+def test_length_buckets_matches_python(spark):
+    """C26 python oracle: smallest-edge-≥-len assignment, max-edge
+    truncation, exact integer-ratio pad-waste fractions."""
+    from engine.corpus.traindata import DEFAULT_BUCKET_EDGES, length_buckets
+
+    lens = [0, 1, 16, 17, 31, 32, 100, 2048, 2049, 9999, 640, 64]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], ["doc_id", "n_tok"]
+    )
+    got = {r.seq_bucket: r for r in length_buckets(df, "n_tok").collect()}
+    expect = {}
+    for n in lens:
+        eff = min(n, 2048)
+        b = min(e for e in DEFAULT_BUCKET_EDGES if e >= eff)
+        d = expect.setdefault(b, [0, 0, 0])
+        d[0] += 1
+        d[1] += eff
+        d[2] += n - eff
+    assert set(got) == set(expect)
+    for b, (n_docs, sum_tok, trunc) in expect.items():
+        r = got[b]
+        assert (r.n_docs, r.sum_tokens, r.truncated_tokens) == (n_docs, sum_tok, trunc)
+        assert r.pad_waste_frac == 1.0 - sum_tok / (b * n_docs)

@@ -136,3 +136,32 @@ def test_grouped_agg_udaf(spark, seq_fixtures):
     for fcat, grp in p.groupby("fcat"):
         want = trimmed_mean(grp["fvalue"])
         assert np.isclose(got[fcat], want, equal_nan=True), fcat
+
+
+def test_quantile_sketch_gate_matches_numpy(spark):
+    """G9 python oracle: exact lower quantiles at rank floor(q*(n-1))+1 and
+    a GK sketch that must sit inside its rank-error band."""
+    import math
+
+    import numpy as np
+
+    from engine.transforms.table import quantile_sketch_gate
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"g{i % 3}", int(v))
+        for i, v in enumerate(rng.randint(0, 10_000, size=3000))
+    ]
+    df = spark.createDataFrame(rows, ["k", "cents"])
+    out = {r.k: r for r in quantile_sketch_gate(df, "k", "cents", qs=(0.5, 0.9), accuracy=100).collect()}
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vals in by_k.items():
+        vals.sort()
+        n = len(vals)
+        r = out[k]
+        assert r.n == n
+        assert r.p5_exact == vals[math.floor(0.5 * (n - 1))]
+        assert r.p9_exact == vals[math.floor(0.9 * (n - 1))]
+        assert r.approx_ok
