@@ -808,6 +808,18 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_stats(d, top_k=100)
 
 
+def q_resize_plumbing(spark, sf_dir):
+    """Image-resize plumbing (engine/corpus/multimodal.py::resize_features,
+    SURVEY.md §2.10 C27): decode + aspect-preserving integer dims math +
+    stubbed resample fused into one Arrow stage (payload crosses into
+    Python once, never shuffles). Hash-exact: the oracle reconstructs dims
+    from asset_id arithmetic and the checksum from sha256 nibble sums over
+    the same payload-body slice."""
+    from engine.corpus.multimodal import gen_assets, resize_features
+
+    return resize_features(gen_assets(spark, 2000), max_side=64)
+
+
 def q_length_buckets(spark, sf_dir):
     """Sequence-length bucketing (engine/corpus/traindata.py::length_buckets,
     SURVEY.md §2.10 C26): pad-to-bucket batch-scheduling prep — per pow2
@@ -1406,6 +1418,44 @@ a AS (
 SELECT token, term_freq, doc_freq FROM a
 ORDER BY term_freq DESC, token LIMIT 100
 """,
+        # resize plumbing: dims from asset_id arithmetic (images are
+        # id%3=0), integer-div aspect math, checksum = sum of the first
+        # (out_w*out_h)%96+16 body bytes — body is the sha256 digest
+        # repeated 4x, so prefix sums come from nibble arithmetic
+        # (full_sum * (L DIV 32) + prefix_sum(L % 32))
+        "resize_plumbing": """
+WITH base AS (
+  SELECT range AS asset_id, sha256('asset|' || range) AS hx,
+         16 + (range * 7919) % 240 AS w, 16 + (range * 104729) % 240 AS h
+  FROM range(2000) WHERE range % 3 = 0
+),
+dims AS (
+  SELECT asset_id, hx, w, h,
+    CASE WHEN greatest(w, h) <= 64 THEN w
+         ELSE greatest(1, (w * 64) // greatest(w, h)) END AS ow,
+    CASE WHEN greatest(w, h) <= 64 THEN h
+         ELSE greatest(1, (h * 64) // greatest(w, h)) END AS oh
+  FROM base
+),
+l AS (SELECT *, (ow * oh) % 96 + 16 AS n FROM dims),
+sums AS (
+  SELECT asset_id, w, h, ow, oh, n,
+    list_sum(list_transform(generate_series(0, 31), i ->
+      16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+         + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1))) AS full_sum,
+    CASE WHEN n % 32 = 0 THEN 0 ELSE
+      list_sum(list_transform(generate_series(0, (n % 32) - 1), i ->
+        16 * (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1))) END AS prefix_sum
+  FROM l
+)
+SELECT asset_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+       CAST(full_sum * (n // 32) + prefix_sum AS BIGINT) AS resized_checksum,
+       'header-stub' AS resizer
+FROM sums
+""",
         # length buckets: same literal edge array, least()-clamp, and
         # integer-ratio pad-waste arithmetic
         "length_buckets": f"""
@@ -1935,6 +1985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 C26: sequence-length bucketing — hash-exact oracle,
         # pytest tail-checked
         "length_buckets": q_length_buckets,
+        # r4 C27: image-resize plumbing (fused decode+dims+resample-stub
+        # Arrow stage) — hash-exact oracle, pytest tail-checked
+        "resize_plumbing": q_resize_plumbing,
     }
 
 

@@ -448,3 +448,29 @@ def test_ngram_topk_matches_python(docs, docs_pdf):
     got = ngram_topk(docs, n=2, top_k=50).collect()
     assert [(r.gram, r.gram_freq) for r in got] == expect
     assert all(r.doc_freq == dfc[r.gram] for r in got)
+
+
+def test_resize_plumbing_matches_python(spark):
+    """C27 python oracle: aspect-preserving integer dims, no-op when the
+    image already fits, checksum over the real payload-body slice."""
+    from engine.corpus.multimodal import (
+        HEADER_LEN, gen_assets, resize_features,
+    )
+
+    assets = gen_assets(spark, 300)
+    payloads = {
+        r.asset_id: bytes(r.payload)
+        for r in assets.where(F.col("kind") == "image").collect()
+    }
+    got = {r.asset_id: r for r in resize_features(assets, max_side=64).collect()}
+    assert set(got) == set(payloads) and len(got) == 100  # ids % 3 == 0
+    for aid, buf in payloads.items():
+        w = 16 + (aid * 7919) % 240
+        h = 16 + (aid * 104729) % 240
+        m = max(w, h)
+        ow, oh = (w, h) if m <= 64 else (max(1, w * 64 // m), max(1, h * 64 // m))
+        n = (ow * oh) % 96 + 16
+        r = got[aid]
+        assert (r.width, r.height, r.out_w, r.out_h) == (w, h, ow, oh)
+        assert max(r.out_w, r.out_h) <= 64
+        assert r.resized_checksum == sum(buf[HEADER_LEN:HEADER_LEN + n])

@@ -32,6 +32,7 @@ TAIL = [
     "ngram_topk",        # r4 C25: corpus token-bigram stats
     "approx_quantiles",  # r4 G9: quantile sketch + exact positional gate
     "length_buckets",    # r4 C26: sequence-length bucketing
+    "resize_plumbing",   # r4 C27: image-resize plumbing
 ]
 DRIVER_WINDOW = 50
 
