@@ -339,7 +339,23 @@ def run_bench(cores: int) -> dict:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # The sf0.1 fixtures are <= 600 KB: at that size per-stage fixed costs
+    # (scheduler, codegen, exchange setup) dominate, and running them at the
+    # leg's full width produced spurious anti-scaling rows every round (r3
+    # verdict task #6). Pin the shuffle width — and, through it,
+    # ensure_min_parallelism's kernel widening — to a FIXED modest 8 for
+    # these queries, identical at every leg, so both legs execute the same
+    # plan with the same task count and the rows measure per-core speed,
+    # not task-overhead amortization. The flagship (the protocol's actual
+    # measurement) runs at the full pinned 128 width below.
+    # asof_merge stays at the full width: its cogrouped Arrow merge stage
+    # is genuinely partition-parallel (6.4 s@4 -> 2.3 s@16 in r3) and the
+    # pin would serialize it to 8 pandas tasks.
+    unpinned = {"asof_merge"}
     for n in names:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", "128" if n in unpinned else "8"
+        )
         # best-of-3 with isolation per rep: rep 1 compiles codegen, later reps
         # are the steady-state engine cost; min is the standard estimator here
         # (3 reps, not 2: at sf0.1 these queries run 0.2-8 s, where one GC
@@ -350,6 +366,7 @@ def run_bench(cores: int) -> dict:
             _isolate()
             reps_q.append(timed(lambda n=n: materialize(qs[n](spark, SF_DIR))))
         results[n] = min(reps_q)
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
     _isolate()
 
     # --- ANN recall instrumentation (round-1 verdict #4/#9) ------------
@@ -814,13 +831,15 @@ index. On the workload LSH exists for — PLANTED near-duplicates at cosine
 {lo.get('ann_near_dup_hit_rate_4x8')} of targets (tests pin ≥ 0.95).
 
 Per-query seconds (best-of-3, cache-released + GC-fenced per rep).
-Rows marked ° are sub-5 s jobs over the ≤600 KB {sf} fixtures: in a long
-full-protocol process they are dominated by per-stage fixed costs
-(scheduler + codegen + exchange setup across more tasks at the wider leg),
-not by the operator — their plans are bucketed/broadcast/JVM-side and
-audit-gated in docs/PLANS.md, and kernel-level scaling for the ones worth
-isolating is recorded in BENCH/HISTORY.md. The flagship rows are the
-protocol's measurement.
+Rows marked ° are sub-5 s jobs over the ≤600 KB {sf} fixtures, PINNED to a
+fixed shuffle/kernel width of 8 at every leg (r3 verdict task #6: running
+them at the leg's full width measured task-overhead amortization, not the
+operator, and re-litigated 0.3 s deltas every round) — with identical
+plans both legs, these rows measure per-core speed and are expected
+flat-to-slightly-better at the wider leg, nothing more. Their plans are
+bucketed/broadcast/JVM-side and audit-gated in docs/PLANS.md; kernel-level
+scaling for the ones worth isolating is recorded in BENCH/HISTORY.md. The
+flagship rows (full 128-wide plans) are the protocol's measurement.
 
 | query | local[{n_lo}] | local[{n_hi}] | |
 |---|---|---|---|

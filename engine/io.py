@@ -90,7 +90,18 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     by definition few.
     """
     sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
+    if target is None:
+        # cap by the session's configured shuffle width: widening a 600 KB
+        # kernel input to 32 tasks costs more scheduler/exchange fixed cost
+        # than the kernel itself (r3 bench: the sub-second corpus queries
+        # anti-scaled 4->16 cores from exactly this). One knob then pins
+        # both this widening and every shuffle — the bench sets it to a
+        # fixed modest width for the tiny fixture queries.
+        try:
+            width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            width = sc.defaultParallelism
+        target = min(sc.defaultParallelism, width)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
