@@ -808,6 +808,26 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_stats(d, top_k=100)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster keep-list (engine/corpus/dedup.py::
+    connected_components, SURVEY.md §2.10 C28): LSH candidate pairs →
+    connected components (transitive closure of near-duplication) →
+    per-doc cluster id + keeper flag. Oracle: DuckDB recursive CTE over the
+    identical pair CTE chain — min reachable id per node."""
+    from engine.corpus.dedup import connected_components, lsh_candidate_pairs
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = lsh_candidate_pairs(d)
+    comp = connected_components(
+        pairs, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("node") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
 def q_resize_plumbing(spark, sf_dir):
     """Image-resize plumbing (engine/corpus/multimodal.py::resize_features,
     SURVEY.md §2.10 C27): decode + aspect-preserving integer dims math +
@@ -1456,6 +1476,23 @@ SELECT asset_id,
        'header-stub' AS resizer
 FROM sums
 """,
+        # dedup clusters: the identical LSH pair CTE chain, closed
+        # transitively with a recursive CTE (min reachable id per node);
+        # docs in no pair are singleton components of themselves
+        "dedup_clusters": f"""
+WITH RECURSIVE {_lsh_pairs_cte()},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS doc_id, min(lbl) AS component_id
+         FROM reach GROUP BY node)
+SELECT doc_id, component_id,
+       CASE WHEN doc_id = component_id THEN 1 ELSE 0 END AS is_keeper
+FROM comp
+""",
         # length buckets: same literal edge array, least()-clamp, and
         # integer-ratio pad-waste arithmetic
         "length_buckets": f"""
@@ -1988,6 +2025,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 C27: image-resize plumbing (fused decode+dims+resample-stub
         # Arrow stage) — hash-exact oracle, pytest tail-checked
         "resize_plumbing": q_resize_plumbing,
+        # r4 C28: near-dup cluster keep-list via connected components —
+        # hash-exact recursive-CTE oracle, pytest tail-checked
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

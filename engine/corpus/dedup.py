@@ -394,3 +394,87 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup candidate-pair edge list →
+    ``(node, component)`` where ``component`` is the MIN node id reachable
+    from ``node`` (the canonical cluster representative a dedup keep-list
+    needs: keep ``node == component``, drop the rest).
+
+    Pair emitters (``lsh_candidate_pairs``, ``simhash_near_pairs``,
+    embedding near-dup) report EDGES; transitive near-duplicates (A~B, B~C
+    but A!~C) land in different pairs, so deduping directly on pairs
+    double-keeps or double-drops. CC closes the transitivity gap — the
+    standard last stage of a production dedup pipeline.
+
+    Algorithm: min-label propagation. ``label(v) <- min(label(v),
+    min over neighbours label(u))`` per round until a fixed point, i.e.
+    O(cluster diameter) rounds. Near-dup graphs are dense band-bucket
+    cliques (diameter 1-3 in practice), so this beats the O(log n)
+    alternating-star algorithm (Kiveris et al. 2014) on constants while
+    staying shuffle-bounded; swap in star-contraction if an adversarial
+    long-chain graph ever shows up (the loop structure is identical).
+
+    Scale design (10^12 docs): the edge table is |candidate pairs| — orders
+    of magnitude smaller than the corpus (LSH banding already bounded it) —
+    and each round is ONE shuffle keyed on dst for the neighbour-min plus
+    ONE join keyed on node, both on (id, label) pairs, never document
+    payloads. ``chain_checkpoint`` truncates plan lineage every round
+    (25 chained joins would otherwise build an exponentially-analyzed
+    plan), and the eager checkpoint doubles as the materialization the
+    convergence count reads, so each round costs exactly one job. The loop
+    is driver-side CONTROL FLOW only — no data ever reaches the driver
+    except the scalar changed-count.
+
+    ``nodes``: optional one-column ``node`` frame of the full id universe
+    (e.g. every doc_id); ids absent from ``pairs`` become singleton
+    components. Default: ids appearing in ``pairs``.
+    """
+    from engine.cache import chain_checkpoint
+
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = tracked_persist(
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
+
+    for _ in range(max_iter):
+        stepped = chain_checkpoint(_cc_round(labels, edges), eager=True)
+        if stepped.where(F.col("__changed")).limit(1).count() == 0:
+            labels = stepped
+            break
+        labels = stepped
+    return labels.select("node", "component")
+
+
+def _cc_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label-propagation round (factored out so the plan audit can
+    gate the per-round shape): neighbour-min keyed on dst, then an
+    equi-join back onto the labels — exactly two (id,label)-width shuffles,
+    no document payloads, no cartesian anywhere."""
+    nbr_min = (
+        edges.join(
+            labels.select(
+                F.col("node").alias("src"), F.col("component").alias("src_lbl")
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("src_lbl").alias("nbr_lbl"))
+    )
+    return labels.join(nbr_min, "node", "left").select(
+        "node",
+        F.least("component", "nbr_lbl").alias("component"),
+        (F.col("nbr_lbl") < F.col("component")).alias("__changed"),
+    )

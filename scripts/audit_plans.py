@@ -323,6 +323,32 @@ def main() -> None:
         "hard-asserted: no cartesian/nested-loop degeneration.",
         nd,
     ))
+    # r4 C28 connected components: the per-round plan must stay on
+    # (id,label)-width frames — no document payloads, no cartesian; the
+    # loop itself checkpoints per round so only the single-round shape
+    # matters at any scale.
+    from engine.corpus.dedup import _cc_round
+
+    cc_edges = d.select(F.col("doc_id").alias("src"),
+                        F.reverse(F.col("doc_id")).alias("dst"))
+    cc_labels = d.select(F.col("doc_id").alias("node"),
+                         F.col("doc_id").alias("component"))
+    cc = _cc_round(cc_labels, cc_edges)
+    cc_plan = plan_of(cc)
+    assert "CartesianProduct" not in cc_plan and "BroadcastNestedLoopJoin" not in cc_plan, (
+        "connected-components round degenerated to a cross join"
+    )
+    secs.append(section(
+        "Connected-components round (near-dup cluster keep-list)",
+        "One min-label-propagation round: neighbour-min keyed on dst + an "
+        "equi-join back onto the labels. Every frame is (id,label) width — "
+        "document payloads never enter the loop — and the iteration "
+        "checkpoints per round, so this single-round shape IS the "
+        "steady-state cost. Hard-asserted: equi-joins only, bounded "
+        "exchanges.",
+        cc,
+        max_exchanges=5,
+    ))
     # r4 sampling/mixing (C16-C18): membership must be a per-row predicate
     # pipelined into the scan — hash_sample/stratified_sample get ZERO
     # exchanges; weighted_mix's only exchanges run on the |sources|-row

@@ -474,3 +474,55 @@ def test_resize_plumbing_matches_python(spark):
         assert (r.width, r.height, r.out_w, r.out_h) == (w, h, ow, oh)
         assert max(r.out_w, r.out_h) <= 64
         assert r.resized_checksum == sum(buf[HEADER_LEN:HEADER_LEN + n])
+
+
+# ------------------------------------------------- connected components ----
+
+def test_connected_components_python_oracle(spark):
+    """Min-label propagation vs a Python union-find on a graph that
+    exercises transitivity: a 4-chain (converges only after >1 round), a
+    triangle, a 2-clique, and singletons (from the nodes universe)."""
+    from engine.corpus.dedup import connected_components
+
+    edges = [("d1", "d2"), ("d2", "d3"), ("d3", "d4"),      # chain
+             ("t1", "t2"), ("t2", "t3"), ("t1", "t3"),      # triangle
+             ("x8", "x9")]                                   # pair
+    nodes = sorted({n for e in edges for n in e} | {"s1", "s2"})
+
+    parent = {n: n for n in nodes}
+
+    def find(n):
+        while parent[n] != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min member, matching the operator contract
+    members: dict = {}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    expect = {n: min(ms) for ms in members.values() for n in ms}
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    unodes = spark.createDataFrame([(n,) for n in nodes], ["node"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, nodes=unodes).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_default_nodes_and_convergence(spark):
+    """Without a nodes universe, only pair members appear; a long chain
+    still converges inside max_iter via per-round min propagation."""
+    from engine.corpus.dedup import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    rows = connected_components(pairs).collect()
+    assert len(rows) == 10
+    assert {r["component"] for r in rows} == {"n00"}

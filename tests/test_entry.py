@@ -33,6 +33,7 @@ TAIL = [
     "approx_quantiles",  # r4 G9: quantile sketch + exact positional gate
     "length_buckets",    # r4 C26: sequence-length bucketing
     "resize_plumbing",   # r4 C27: image-resize plumbing
+    "dedup_clusters",    # r4 C28: connected-components dedup keep-list
 ]
 DRIVER_WINDOW = 50
 
