@@ -664,8 +664,10 @@ sequences → {events} seq_events, {probes} probes — materialized ONCE and
 read by both runs; the tokenized sequences table is stored BUCKETED by
 doc_id ({buckets} buckets, the Iceberg bucket-transform analogue) so the
 token join is co-located by layout and never shuffles the fat side; one
-doc_id holds {hot_pct}% of events/probes, above the hybrid hot-key
-threshold, so the skew routing is genuinely exercised — plus headline
+doc_id holds {hot_pct}% of events/probes and the cost-based straggler
+condition decides per corpus whether routing it pays — `hot_keys_routed`
+below records this run's decision, and the sensitivity record further
+down measures both sides of it — plus headline
 queries at {sf}), same code, two parallelism levels. Efficiency =
 (throughput@{n_hi} / throughput@{n_lo}) / {ratio:g} — the sandbox stand-in
 for the N vs 4N executor requirement (>= 0.8, BASELINE.json:2); both
@@ -819,6 +821,37 @@ build + journal writes + cache-release barrier; the chunk filter is a
 predicate on a computed hash pid, so every chunk re-scans the full
 input).{staged} {ck.get('context', '')}
 """)
+        ss = recs.get("straggler_sensitivity")
+        if ss:
+            fh.write(f"""
+## Straggler-routing threshold sensitivity (dated record, measured {ss['measured']})
+
+{ss['context']}
+
+| docs | hot-key rows | makespan bar (rows/(8·cores)) | default routes? | best routed (s) | best plain (s) | faster side | decision flips at floor |
+|---|---|---|---|---|---|---|---|
+""")
+            for r in ss["runs"]:
+                faster = ("routed" if r["best_routed_s"] < r["best_plain_s"]
+                          else "plain")
+                decisions = r["floor_sweep_routes"]
+                default = bool(r["default_decision_routes"])
+                flips = [f for f, d in sorted(decisions.items(),
+                                              key=lambda kv: int(kv[0]))
+                         if bool(d) != default]
+                flip_txt = (f"{min(flips, key=int)}" if flips else
+                            "never (250k–8M)")
+                fh.write(
+                    f"| {r['docs']} | {r['hot_key_rows']} | {r['makespan_bar']} "
+                    f"| {default} | {r['best_routed_s']} | {r['best_plain_s']} "
+                    f"| {faster} | {flip_txt} |\n")
+            fh.write(
+                "\nThe model is honest iff the default decision picks the "
+                "measured-faster side at every corpus size, and the flip "
+                "column shows how far `spill_floor` can move from its "
+                "calibrated 1M before the decision changes (floor sweep is "
+                "model-only: decision recomputed per candidate floor against "
+                "the exact hot-key count).\n")
         fh.write(f"""
 ANN recall at {sf} (measured per run, see raw JSON): single-table
 8-plane LSH recall@5 on the fixture's ISOTROPIC embeddings

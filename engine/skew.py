@@ -97,32 +97,48 @@ def straggler_hot_keys(
     cost-based routing condition for the hybrid/fused skew split.
 
     A key only hurts the makespan when its single serial task outlasts the
-    rest of the job, so bucketing it must clear BOTH bars
-    (``cnt > max(spill_floor, total_rows / (8 * cores))``):
+    balanced remainder of the job, so bucketing it must clear BOTH bars
+    (``cnt > max(spill_floor, total_rows / cores)`` — see
+    :func:`straggler_threshold`):
 
-    * ``cnt > spill_floor`` — the absolute cliff, and the binding term at
-      single-node scales: a single-task sort of ~1M+ rows leaves the
-      in-memory sorter and starts spilling, at which point its per-row cost
-      is several × the parallel tasks' (measured both ways: a 250k-row hot
-      key at 500k docs / 32 cores made the hybrid plan 3× SLOWER than the
-      naive chain it was protecting — pure fixed cost, nothing to save —
-      while a 4M-row hot task at 8M docs measurably straggled the 16-core
-      leg by ~1.5× even though it held only ~80 % of the per-core share).
-    * ``cnt > total_rows / (8 * cores)`` — the makespan guard for large
-      clusters: on 1000 cores a key can clear the spill floor yet still be
-      a rounding error against hours of parallel work; splitting it buys
-      nothing, so don't. The slack factor 8 reflects the spill-driven
-      per-row cost multiplier above: a serial task at ~1/8 of the ideal
-      core share already runs at wall-clock parity with it.
+    * ``cnt > spill_floor`` — the absolute cliff: a single-task sort below
+      ~1M rows stays in the in-memory sorter, and at that size the hybrid
+      plan's fixed stages (role explode, carry scaffolding) dominate
+      anything routing could save. Measured: a 250k-row hot key at 500k
+      docs / 16 cores made the routed plan 3.0× SLOWER than the plain
+      fused chain it was protecting (22.91 s vs 7.63 s, sensitivity record
+      in BENCH/BASELINE.md).
+    * ``cnt > total_rows / cores`` — the makespan bar: a serial task only
+      extends the makespan once it exceeds a full core's balanced share of
+      the job. This bar was recalibrated by the 2026-08-19 sensitivity
+      experiment: the previous ``total / (8 · cores)`` slack routed a
+      4M-row key at 8M docs / 16 cores (80 % of the 5M-row per-core share)
+      and measured 19 % SLOWER than not routing (55.67 s vs 46.79 s) — a
+      below-share task cannot straggle, and the 8× slack was encoding the
+      old pre-degeneration fixed costs, not physics. On a 1000-core
+      cluster the same bar correctly ignores keys that are rounding errors
+      against the aggregate work and still catches the boilerplate key
+      holding multiples of a core's share.
 
     Returns the same shape as ``detect_hot_keys``. An empty list is the
     correct result for "no key can straggle here" — the fused chain
     degenerates to the plain single-window plan on it.
     """
-    thr = max(int(spill_floor), total_rows // (8 * max(1, int(cores))))
+    thr = straggler_threshold(total_rows, cores, spill_floor)
     return detect_hot_keys(
         df, keys, thr + 1, max_keys=max_keys, sample_fraction=sample_fraction
     )
+
+
+def straggler_threshold(
+    total_rows: int, cores: int, spill_floor: int = 1_000_000
+) -> int:
+    """The row count above which a single key's serial task straggles a
+    per-entity window plan: ``max(spill_floor, total_rows // cores)``.
+    Shared by :func:`straggler_hot_keys` and the sensitivity experiment
+    (scripts/straggler_sensitivity.py) so the swept rule IS the shipped
+    rule."""
+    return max(int(spill_floor), total_rows // max(1, int(cores)))
 
 
 def salted_join(
