@@ -828,12 +828,17 @@ input).{staged} {ck.get('context', '')}
 
 {ss['context']}
 
-| docs | hot-key rows | makespan bar (rows/(8·cores)) | default routes? | best routed (s) | best plain (s) | faster side | decision flips at floor |
-|---|---|---|---|---|---|---|---|
+| docs | hot% | hot-key rows | makespan bar (as of that run's rule) | default routes? | best routed (s) | best plain (s) | faster side | decision flips at floor |
+|---|---|---|---|---|---|---|---|---|
 """)
             for r in ss["runs"]:
-                faster = ("routed" if r["best_routed_s"] < r["best_plain_s"]
-                          else "plain")
+                lo_w, hi_w = sorted([r["best_routed_s"], r["best_plain_s"]])
+                if hi_w / max(lo_w, 1e-9) < 1.05:
+                    faster = "~tie (<5%)"
+                elif r["best_routed_s"] < r["best_plain_s"]:
+                    faster = "routed"
+                else:
+                    faster = "plain"
                 decisions = r["floor_sweep_routes"]
                 default = bool(r["default_decision_routes"])
                 flips = [f for f, d in sorted(decisions.items(),
@@ -842,9 +847,13 @@ input).{staged} {ck.get('context', '')}
                 flip_txt = (f"{min(flips, key=int)}" if flips else
                             "never (250k–8M)")
                 fh.write(
-                    f"| {r['docs']} | {r['hot_key_rows']} | {r['makespan_bar']} "
+                    f"| {r['docs']} | {r.get('hot_pct', '?')} "
+                    f"| {r['hot_key_rows']} | {r['makespan_bar']} "
                     f"| {default} | {r['best_routed_s']} | {r['best_plain_s']} "
                     f"| {faster} | {flip_txt} |\n")
+            for r in ss["runs"]:
+                if r.get("note"):
+                    fh.write(f"- {r['docs']} docs / {r.get('hot_pct', '?')}% hot: {r['note']}\n")
             fh.write(
                 "\nThe model is honest iff the default decision picks the "
                 "measured-faster side at every corpus size, and the flip "
