@@ -1141,6 +1141,15 @@ SELECT user_id,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
 """,
+        "sliding_agg": """
+WITH ev AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+w AS (SELECT user_id, v,
+             time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS win_start
+      FROM ev, generate_series(0, 3) AS gs(k))
+SELECT user_id, win_start, win_start + INTERVAL 2 HOUR AS win_end,
+       COUNT(v) AS n, CAST(SUM(v) AS DOUBLE) AS value_sum
+FROM w GROUP BY user_id, win_start
+""",
         "median_by_group": """
 WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events),
 r AS (SELECT event_type, cents,
@@ -1833,6 +1842,30 @@ def q_tumbling_agg(spark, sf_dir):
     )
 
 
+def q_sliding_agg(spark, sf_dir):
+    """§2.8 SLIDING windowed aggregate (window=2h, slide=30m — each event
+    lands in exactly window/slide = 4 epoch-aligned windows; same
+    engine.streaming.windowed_agg code path runs on readStream). Oracle
+    replicates each event into its 4 covering windows via generate_series
+    and re-derives Spark's epoch-aligned window starts with time_bucket."""
+    from engine.streaming import windowed_agg
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("vdec")
+    )
+    out = windowed_agg(
+        e, "user_id", "ts", {"vdec": ["count", "sum"]},
+        window="2 hours", slide="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("win_end").cast("timestamp_ntz").alias("win_end"),
+        F.col("vdec_count").alias("n"),
+        F.col("vdec_sum").cast("double").alias("value_sum"),
+    )
+
+
 def q_median_by_group(spark, sf_dir):
     """Exact (interpolation-free) per-group median: middle element(s) of the
     value multiset in integer cents — positional, so float quantile
@@ -2028,6 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 C28: near-dup cluster keep-list via connected components —
         # hash-exact recursive-CTE oracle, pytest tail-checked
         "dedup_clusters": q_dedup_clusters,
+        # r4 §2.8: sliding windowed aggregate (window=2h slide=30m) —
+        # hash-exact oracle (event replicated into its 4 covering windows)
+        "sliding_agg": q_sliding_agg,
     }
 
 

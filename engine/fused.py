@@ -174,11 +174,13 @@ def fused_feature_chain(
         # Exchange + sorts (the rolling prefix resolve re-sorts, no
         # re-shuffle). The composed ops are the semantic definition the
         # fused plan is equality-tested against, so this is by construction
-        # identical. (Since the 2026-08-19 threshold recalibration the
-        # router also returns [] at large corpora whose hot key stays below
-        # a core's share, so this path runs at fact scale — the compound
-        # sort-prefix key below keeps the comparator discriminating there
-        # exactly like the fused plan's _SK column.)
+        # identical. (Since the 2026-08-19 threshold recalibration this
+        # path also runs at fact scale; a compound xxhash64 sort-prefix key
+        # like the fused plan's _SK was tried here and MEASURED OUT — an
+        # interleaved same-session A/B showed parity-within-noise at 8M
+        # docs/16 cores and a consistent 25-35% cost at 500k docs across
+        # two sessions, so the plain keys stay. The _SK win lives in the
+        # fused two-exchange plan where it was measured.)
         from engine.asof import asof_join
         from engine.window_ops import (
             forward_fill,
@@ -187,30 +189,23 @@ def fused_feature_chain(
             sessionize,
         )
 
-        # Compound (xxhash64(keys), *keys) grouping key: identical grouping
-        # (the hash is a function of the keys) but the leading int64 keeps
-        # Spark's sort-prefix comparator discriminating when key strings
-        # share a long common prefix (the r3 scale-killer; BENCH/HISTORY.md)
-        sk = F.xxhash64(*[F.col(k) for k in keys])
-        ck = ["__sk0", *keys]
         out = asof_join(
-            probes.withColumn("__sk0", sk), state.withColumn("__sk0", sk),
-            on=ck, probe_ts=probe_ts, state_ts=state_ts,
+            probes, state, on=keys, probe_ts=probe_ts, state_ts=state_ts,
             values=values, strict=strict, suffix=suffix, strategy="union",
         )
         if ffill_cols:
             out = forward_fill(
-                out, ck, probe_ts, ffill_cols, out_suffix=ffill_suffix
+                out, keys, probe_ts, ffill_cols, out_suffix=ffill_suffix
             )
         if lag_cols:
-            out = lag_features(out, ck, probe_ts, lag_cols, lags=lags)
+            out = lag_features(out, keys, probe_ts, lag_cols, lags=lags)
         if session_gap is not None:
             out = sessionize(
-                out, ck, probe_ts, gap=session_gap, session_col=session_col
+                out, keys, probe_ts, gap=session_gap, session_col=session_col
             )
         if rolling:
             out = rolling_aggregates(
-                out, ck, probe_ts, rolling,
+                out, keys, probe_ts, rolling,
                 window=rolling_window, method="prefix",
             )
         keep = [

@@ -34,6 +34,7 @@ TAIL = [
     "length_buckets",    # r4 C26: sequence-length bucketing
     "resize_plumbing",   # r4 C27: image-resize plumbing
     "dedup_clusters",    # r4 C28: connected-components dedup keep-list
+    "sliding_agg",       # r4 §2.8: sliding windowed aggregate
 ]
 DRIVER_WINDOW = 50
 
