@@ -861,6 +861,16 @@ input).{staged} {ck.get('context', '')}
                 "calibrated 1M before the decision changes (floor sweep is "
                 "model-only: decision recomputed per candidate floor against "
                 "the exact hot-key count).\n")
+        pc = recs.get("pinned_row_crosscheck")
+        pin_note = ""
+        if pc:
+            xs = "; ".join(
+                f"{r['q']} {r['best_4']} s@4 → {r['best_16']} s@16"
+                for r in pc["runs"])
+            pin_note = (
+                f" (isolated fresh-session cross-check, dated record "
+                f"measured {pc['measured']}: {xs} — see envelope.json "
+                f"pinned_row_crosscheck for the full context)")
         fh.write(f"""
 ANN recall at {sf} (measured per run, see raw JSON): single-table
 8-plane LSH recall@5 on the fixture's ISOTROPIC embeddings
@@ -876,12 +886,14 @@ Per-query seconds (best-of-3, cache-released + GC-fenced per rep).
 Rows marked ° are sub-5 s jobs over the ≤600 KB {sf} fixtures, PINNED to a
 fixed shuffle/kernel width of 8 at every leg (r3 verdict task #6: running
 them at the leg's full width measured task-overhead amortization, not the
-operator, and re-litigated 0.3 s deltas every round) — with identical
-plans both legs, these rows measure per-core speed and are expected
-flat-to-slightly-better at the wider leg, nothing more. Their plans are
-bucketed/broadcast/JVM-side and audit-gated in docs/PLANS.md; kernel-level
-scaling for the ones worth isolating is recorded in BENCH/HISTORY.md. The
-flagship rows (full 128-wide plans) are the protocol's measurement.
+operator). With identical plans both legs these rows measure per-core
+speed — but in a long full-protocol process they still inherit the JVM
+state (heap, code cache, GC history) left by the preceding flagship reps,
+so a ° row can drift without the operator regressing.{pin_note} Their
+plans are bucketed/broadcast/JVM-side and audit-gated in docs/PLANS.md;
+kernel-level scaling for the ones worth isolating is recorded in
+BENCH/HISTORY.md. The flagship rows (full 128-wide plans) are the
+protocol's measurement.
 
 | query | local[{n_lo}] | local[{n_hi}] | |
 |---|---|---|---|
