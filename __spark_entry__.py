@@ -628,6 +628,18 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(e, _emb_queries(e), k=5)
 
 
+def q_label_agreement(spark, sf_dir):
+    """Leave-one-out k-NN label agreement (engine/corpus/similarity.py::
+    label_agreement, SURVEY.md §2.10 C29): neighbourhood majority vote as a
+    label-noise screen. Oracle: full cross join + the identical
+    (score desc, id asc) neighbour ranking and (votes desc, label asc)
+    majority tie-break."""
+    from engine.corpus.similarity import label_agreement
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return label_agreement(e, k=5)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     from engine.corpus.similarity import lsh_topk
 
@@ -1084,6 +1096,21 @@ s AS (SELECT q_id, vec_id, round({_cos_sql('v', 'qv')}, 6) AS score
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS "rank"
       FROM s)
 SELECT q_id, vec_id, score, "rank" FROM r WHERE "rank" <= 5
+""",
+        "label_agreement": f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+             round({_cos_sql('c.v', 'q.v')}, 6) AS score
+      FROM emb q JOIN emb c ON c.vec_id <> q.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+      FROM s),
+v AS (SELECT q_id, n_label, count(*) AS votes FROM r WHERE rn <= 5 GROUP BY q_id, n_label),
+m AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label ASC) AS mr
+      FROM v)
+SELECT e.vec_id, e.label, m.n_label AS majority_label, m.votes,
+       CASE WHEN m.n_label = e.label THEN 1 ELSE 0 END AS agrees
+FROM m JOIN emb e ON e.vec_id = m.q_id
+WHERE m.mr = 1
 """,
         "ann_lsh_topk": f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2064,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 §2.8: sliding windowed aggregate (window=2h slide=30m) —
         # hash-exact oracle (event replicated into its 4 covering windows)
         "sliding_agg": q_sliding_agg,
+        # r4 C29: leave-one-out k-NN label agreement (label-noise screen)
+        # — hash-exact cross-join oracle
+        "label_agreement": q_label_agreement,
     }
 
 

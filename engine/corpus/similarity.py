@@ -324,3 +324,71 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def label_agreement(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    topk=None,
+) -> DataFrame:
+    """Leave-one-out k-NN label agreement — the standard label-noise screen
+    for an embedded, labeled corpus: each vector's k nearest (cosine)
+    neighbours vote; a row whose own label disagrees with the neighbourhood
+    majority is a relabel/review candidate. Returns one row per vector:
+    ``(vec_id, label, majority_label, votes, agrees)``.
+
+    Determinism: neighbours rank on (rounded score desc, id asc); the
+    majority vote breaks count ties on the smaller label — identical
+    ordering in the DuckDB oracle, so the output is engine-exact.
+
+    ``topk``: ``callable(corpus, queries, k) -> (q_id, id, score, ...)``.
+    Default is :func:`brute_force_topk` — exact, with the broadcast-queries
+    + partition-local-prefilter shape; at corpus scale pass the blocked
+    :func:`lsh_topk`/:func:`ivf_topk` instead for an approximate screen
+    over the identical voting plumbing (queries = the corpus itself, so
+    the production path batches query blocks rather than broadcasting all
+    of them at once).
+
+    Self-exclusion: neighbours are fetched with k+1 and the self row
+    (id == q_id, exact identity, never a score comparison) is dropped,
+    then re-ranked to k — correct whether or not ties at the top pushed
+    the self row out of the k+1 cut.
+    """
+    from pyspark.sql import Window
+
+    fetch = topk or brute_force_topk
+    queries = emb.select(F.col(id_col).alias("q_id"), F.col(vec_col))
+    nn = fetch(emb, queries, k + 1).where(F.col("q_id") != F.col(id_col))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    nn = nn.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+
+    lbl = emb.select(F.col(id_col), F.col(label_col))
+    votes = (
+        nn.join(lbl, id_col)
+        .groupBy("q_id", F.col(label_col).alias("n_label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wm = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("n_label").asc()
+    )
+    maj = (
+        votes.withColumn("__mr", F.row_number().over(wm))
+        .where(F.col("__mr") == 1)
+        .select("q_id", "n_label", "votes")
+    )
+    own = emb.select(F.col(id_col), F.col(label_col))
+    return (
+        own.join(maj, own[id_col] == maj["q_id"])
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col("n_label").alias("majority_label"),
+            "votes",
+            (F.col("n_label") == F.col(label_col)).cast("int").alias("agrees"),
+        )
+    )

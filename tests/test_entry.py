@@ -35,6 +35,7 @@ TAIL = [
     "resize_plumbing",   # r4 C27: image-resize plumbing
     "dedup_clusters",    # r4 C28: connected-components dedup keep-list
     "sliding_agg",       # r4 §2.8: sliding windowed aggregate
+    "label_agreement",   # r4 C29: leave-one-out k-NN label-noise screen
 ]
 DRIVER_WINDOW = 50
 
