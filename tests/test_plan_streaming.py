@@ -271,3 +271,26 @@ def test_streaming_content_dedup_matches_batch_exact_dedup(spark, sf_dir, tmp_pa
     ).toPandas()
     assert len(got) == n_distinct
     assert got.content_key.is_unique
+
+
+def test_streaming_sliding_agg_matches_batch(spark, sf_dir, tmp_path):
+    """r4 §2.8: the SLIDING window path (window=2h slide=30m — each event in
+    4 overlapping windows) must produce identical rows on readStream as in
+    batch (where it is also oracle-checked hash-exact vs DuckDB)."""
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "slide_src")
+    e.repartition(3).write.mode("overwrite").parquet(src)
+    batch = windowed_agg(
+        e, "user_id", "ts", {"value": ["count"]}, "2 hours", slide="30 minutes"
+    ).toPandas()
+
+    stream = file_stream(spark, src, e.schema)
+    agg = windowed_agg(stream, "user_id", "ts", {"value": ["count"]},
+                       "2 hours", slide="30 minutes", watermark="4 hours")
+    got = run_available_now(agg, "slide_agg_test", output_mode="complete").toPandas()
+    a = batch.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    b = got.sort_values(["user_id", "win_start"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["value_count"].values == b["value_count"].values).all()
+    # sliding invariant: total (event, window) memberships = 4x event count
+    assert int(batch["value_count"].sum()) == 4 * e.count()
