@@ -21,6 +21,9 @@ Two measurements at one corpus size + core count:
 Usage:
     AFG_BENCH_DOCS=500000  AFG_SHUFFLE_TMPFS=1 python scripts/straggler_sensitivity.py 16 2
     AFG_BENCH_DOCS=8000000 AFG_SHUFFLE_TMPFS=1 python scripts/straggler_sensitivity.py 16 2
+    # the routing-wins side of the boundary (hot key > per-core share):
+    AFG_BENCH_DOCS=2000000 AFG_BENCH_HOT_PCT=20 AFG_SHUFFLE_TMPFS=1 \
+        python scripts/straggler_sensitivity.py 16 3
 
 Prints ONE JSON line; paste (or script) the result into
 BENCH/envelope.json["straggler_sensitivity"] as a dated record —
