@@ -1993,59 +1993,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window."""
     return {
         # --- (1) no official CORRECTNESS row yet: first, always ---------
+        # r4 LLM-pipeline operators (C16-C29, G9, sliding_agg,
+        # flagship_sequences) landed past the driver's r4 window; r5 rotates
+        # them in so each gets an official driver-green row (r4 verdict #1).
+        "stratified_sample": q_stratified_sample,    # C16
+        "exact_k_sample": q_exact_k_sample,          # C18
+        "weighted_mix": q_weighted_mix,              # C17
+        "decontaminate": q_decontaminate,            # C19
+        "pack_sequences": q_pack_sequences,          # C20
+        "vocab_topk": q_vocab_topk,                  # C21
+        "repetition_stats": q_repetition_stats,      # C22
+        "tfidf_terms": q_tfidf_terms,                # C23
+        "pii_scrub": q_pii_scrub,                    # C24
+        "ngram_topk": q_ngram_topk,                  # C25
+        "approx_quantiles": q_approx_quantiles,      # G9
+        "length_buckets": q_length_buckets,          # C26
+        "resize_plumbing": q_resize_plumbing,        # C27
+        "dedup_clusters": q_dedup_clusters,          # C28
+        "sliding_agg": q_sliding_agg,                # §2.8 sliding window
+        "label_agreement": q_label_agreement,        # C29
+        "frame_sample": q_frame_sample,              # C14
+        "flagship_sequences": q_flagship_sequences,  # flagship DuckDB oracle
+        # --- (2) unique operator surface --------------------------------
         "broadcast_dims": q_broadcast_dims,
-        "pricing_summary": q_pricing_summary,
         "snapshot_diff": q_snapshot_diff,
         "approx_distinct": q_approx_distinct,
         "global_topn": q_global_topn,
         "grouping_sets": q_grouping_sets,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_decode": q_multimodal_decode,
-        "dim_grouped_agg": q_dim_grouped_agg,  # new in r3
-        # --- (2) unique operator surface --------------------------------
-        "asof_union": q_asof_union,
+        "dim_grouped_agg": q_dim_grouped_agg,
         "asof_merge": q_asof_merge,
-        "asof_strict": q_asof_strict,
         "ffill": q_ffill,
-        "bfill": q_bfill,
         "lag_lead": q_lag_lead,
         "session_agg": q_session_agg,
         "rolling_1h": q_rolling_1h,
         "cumulative": q_cumulative,
-        "topk_latest": q_topk_latest,
         "direct_features": q_direct_features,
         "agg_features": q_agg_features,
         "two_level_agg": q_two_level_agg,
-        "salted_join": q_salted_join,
-        "minmax": q_minmax,
         "row_features_text": q_row_features_text,
         "row_features_time": q_row_features_time,
         "json_extract": q_json_extract,
-        "distinct_users": q_distinct_users,
-        "semi_anti": q_semi_anti,
         "plan_pipeline": q_plan_pipeline,
         "hotwin_family": q_hotwin_family,
         "fused_chain": q_fused_chain,
-        "grouped_demean": q_grouped_demean,
         "trimmed_mean_udaf": q_trimmed_mean_udaf,
-        "tumbling_agg": q_tumbling_agg,
-        "median_by_group": q_median_by_group,
-        "pivot_counts": q_pivot_counts,
         "token_array_ops": q_token_array_ops,
-        "range_join": q_range_join,
-        # corpus ops (§2.10): dedup / similarity / text analysis / multimodal
+        # corpus ops (§2.10): dedup / similarity / text analysis
         "exact_dedup": q_exact_dedup,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_jaccard": q_near_dup_jaccard,
         "simhash_pairs_md5": q_simhash_pairs_md5,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "ann_topk": q_ann_topk,
         "ann_lsh_multitable": q_ann_lsh_multitable,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         # --- (3) tail: kernel already covered by an in-window entry ------
+        # Every tail entry below has a driver-green CORRECTNESS row from a
+        # prior round AND is hash-checked every pytest run
+        # (tests/test_tail_oracle.py); the named cover keeps the kernel
+        # exercised inside the current driver window.
         "sessionize": q_sessionize,          # cover: session_agg, fused_chain
         "asof_bucketed": q_asof_bucketed,    # cover: asof_merge (same oracle), fused_chain hybrid
         "rollup_events": q_rollup_events,    # cover: grouping_sets (same GROUPING SETS engine path)
@@ -2054,46 +2061,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,    # cover: simhash_pairs_md5 (same kernel, portable hash)
         "embedding_near_dup": q_embedding_near_dup,  # cover: embedding_near_dup_lsh (same verify kernel)
         "ann_lsh_topk": q_ann_lsh_topk,      # cover: ann_lsh_multitable (superset, L=1 special case)
-        "flagship_sequences": q_flagship_sequences,  # cover: asof_union+lag_lead+session_agg+rolling_1h; hash-exact DuckDB oracle since r4
-        "frame_sample": q_frame_sample,      # cover: multimodal_decode (same decode stage); hash-exact oracle, pytest tail-checked
-        # r4 corpus sampling/mixing family (C16-C18) — hash-exact oracles,
-        # pytest tail-checked
-        "stratified_sample": q_stratified_sample,
-        "exact_k_sample": q_exact_k_sample,
-        "weighted_mix": q_weighted_mix,
-        # r4 training-set prep family (C19-C21) — hash-exact oracles,
-        # pytest tail-checked
-        "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
-        "vocab_topk": q_vocab_topk,
-        # r4 C22-C23: intra-doc repetition filters + per-doc tf-idf terms —
-        # hash-exact oracles, pytest tail-checked
-        "repetition_stats": q_repetition_stats,
-        "tfidf_terms": q_tfidf_terms,
-        # r4 C24: PII detection/redaction — hash-exact oracle,
-        # pytest tail-checked
-        "pii_scrub": q_pii_scrub,
-        # r4 C25: corpus token-bigram stats — hash-exact oracle,
-        # pytest tail-checked
-        "ngram_topk": q_ngram_topk,
-        # r4 G9: quantile sketch with exact positional values + GK
-        # rank-error gate — hash-exact oracle, pytest tail-checked
-        "approx_quantiles": q_approx_quantiles,
-        # r4 C26: sequence-length bucketing — hash-exact oracle,
-        # pytest tail-checked
-        "length_buckets": q_length_buckets,
-        # r4 C27: image-resize plumbing (fused decode+dims+resample-stub
-        # Arrow stage) — hash-exact oracle, pytest tail-checked
-        "resize_plumbing": q_resize_plumbing,
-        # r4 C28: near-dup cluster keep-list via connected components —
-        # hash-exact recursive-CTE oracle, pytest tail-checked
-        "dedup_clusters": q_dedup_clusters,
-        # r4 §2.8: sliding windowed aggregate (window=2h slide=30m) —
-        # hash-exact oracle (event replicated into its 4 covering windows)
-        "sliding_agg": q_sliding_agg,
-        # r4 C29: leave-one-out k-NN label agreement (label-noise screen)
-        # — hash-exact cross-join oracle
-        "label_agreement": q_label_agreement,
+        # r5-demoted twins (driver-green in CORRECTNESS_r04.json):
+        "asof_union": q_asof_union,          # cover: asof_merge (identical oracle, A1 union strategy)
+        "asof_strict": q_asof_strict,        # cover: asof_merge (same kernel, <= -> < flag)
+        "bfill": q_bfill,                    # cover: ffill (same carry kernel, reversed frame)
+        "minmax": q_minmax,                  # cover: direct_features (same column-transform family)
+        "topk_latest": q_topk_latest,        # cover: global_topn + vocab_topk (rank/TakeOrdered kernels)
+        "semi_anti": q_semi_anti,            # cover: decontaminate (broadcast left-anti kernel)
+        "range_join": q_range_join,          # cover: sliding_agg (window-containment non-equi expansion)
+        "pivot_counts": q_pivot_counts,      # cover: grouping_sets (reshaped agg engine path)
+        "median_by_group": q_median_by_group,  # cover: approx_quantiles (exact positional p50 kernel)
+        "distinct_users": q_distinct_users,  # cover: approx_distinct (G3, exact gate in-query)
+        "tumbling_agg": q_tumbling_agg,      # cover: sliding_agg (slide == window special case)
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,  # cover: near_dup_jaccard (verify consumes LSH pairs)
+        "ann_topk": q_ann_topk,              # cover: label_agreement (brute-force topk is its oracle fetch) + ann_lsh_multitable
+        "salted_join": q_salted_join,        # cover: two_level_agg (same salt kernel), fused_chain hybrid
+        "grouped_demean": q_grouped_demean,  # cover: trimmed_mean_udaf (Arrow grouped-table transform)
+        "pricing_summary": q_pricing_summary,  # cover: agg_features (hash group-by agg, G1)
+        "doc_fingerprint": q_doc_fingerprint,  # cover: token_counts + quality_score (per-row JVM text kernels)
+        "multimodal_decode": q_multimodal_decode,  # cover: resize_plumbing + frame_sample (same fused decode stage)
     }
 
 

@@ -16,26 +16,28 @@ TAIL = [
     "simhash_pairs",
     "embedding_near_dup",
     "ann_lsh_topk",
-    "flagship_sequences",
-    "frame_sample",    # r4: C14 upgraded pytest-only -> hash-exact tail oracle
-    # r4 corpus sampling/mixing family (C16-C18), hash-exact tail oracles
-    "stratified_sample",
-    "exact_k_sample",
-    "weighted_mix",
-    # r4 training-set prep family (C19-C21), hash-exact tail oracles
-    "decontaminate",
-    "pack_sequences",
-    "vocab_topk",
-    "repetition_stats",  # r4 C22: intra-doc repetition filters
-    "tfidf_terms",       # r4 C23: per-doc tf-idf top-k terms
-    "pii_scrub",         # r4 C24: PII detection/redaction
-    "ngram_topk",        # r4 C25: corpus token-bigram stats
-    "approx_quantiles",  # r4 G9: quantile sketch + exact positional gate
-    "length_buckets",    # r4 C26: sequence-length bucketing
-    "resize_plumbing",   # r4 C27: image-resize plumbing
-    "dedup_clusters",    # r4 C28: connected-components dedup keep-list
-    "sliding_agg",       # r4 §2.8: sliding windowed aggregate
-    "label_agreement",   # r4 C29: leave-one-out k-NN label-noise screen
+    # r5 rotation (r4 verdict #1): the r4 LLM-pipeline operators moved INTO
+    # the driver window to mint official CORRECTNESS rows; these displaced
+    # twins (all driver-green in CORRECTNESS_r04.json, covers named in the
+    # queries() dict) moved out.
+    "asof_union",
+    "asof_strict",
+    "bfill",
+    "minmax",
+    "topk_latest",
+    "semi_anti",
+    "range_join",
+    "pivot_counts",
+    "median_by_group",
+    "distinct_users",
+    "tumbling_agg",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "salted_join",
+    "grouped_demean",
+    "pricing_summary",
+    "doc_fingerprint",
+    "multimodal_decode",
 ]
 DRIVER_WINDOW = 50
 
