@@ -1534,7 +1534,7 @@ FROM comp
         "length_buckets": f"""
 WITH d AS (
   SELECT CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 b AS (
   SELECT list_min(list_filter([16, 32, 64, 128, 256, 512, 1024, 2048],
@@ -1556,6 +1556,7 @@ FROM b GROUP BY seq_bucket
         "approx_quantiles": """
 WITH c AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE value IS NOT NULL
 ),
 r AS (
   SELECT event_type, cents,

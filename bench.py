@@ -31,6 +31,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("AFG_BENCH_DOCS", "500000"))
 EVENTS_PER_DOC = 8
+# Pinned shuffle widths (r4 ADVICE: one named constant per width, used by the
+# session builder, the per-query pin, and the post-loop reset — a drifted
+# literal would silently re-pin the flagship to a stale width). Rationale for
+# the values: SHUFFLE_WIDTH comment in get_spark(); SMALL_QUERY_WIDTH comment
+# at the per-query pin (r3 verdict task #6).
+SHUFFLE_WIDTH = 128
+SMALL_QUERY_WIDTH = 8
 
 
 def get_spark(cores: int) -> SparkSession:
@@ -49,7 +56,7 @@ def get_spark(cores: int) -> SparkSession:
         SparkSession.builder.appName("afg-bench")
         .master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.shuffle.partitions", str(SHUFFLE_WIDTH))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", os.environ.get("AFG_AQE", "true"))
         .config(
@@ -133,7 +140,7 @@ HOT_PCT = int(os.environ.get("AFG_BENCH_HOT_PCT", "5"))
 # 4 task waves — bucket-size skew then leaves cores idle in the last wave
 # (measured cold-join scaling 0.66; a deployment sizes bucket count to
 # cluster parallelism for the same reason).
-SEQ_BUCKETS = 128
+SEQ_BUCKETS = SHUFFLE_WIDTH
 
 
 def _seq_table(n_docs: int) -> str:
@@ -354,7 +361,8 @@ def run_bench(cores: int) -> dict:
     unpinned = {"asof_merge"}
     for n in names:
         spark.conf.set(
-            "spark.sql.shuffle.partitions", "128" if n in unpinned else "8"
+            "spark.sql.shuffle.partitions",
+            str(SHUFFLE_WIDTH if n in unpinned else SMALL_QUERY_WIDTH),
         )
         # best-of-3 with isolation per rep: rep 1 compiles codegen, later reps
         # are the steady-state engine cost; min is the standard estimator here
@@ -366,7 +374,7 @@ def run_bench(cores: int) -> dict:
             _isolate()
             reps_q.append(timed(lambda n=n: materialize(qs[n](spark, SF_DIR))))
         results[n] = min(reps_q)
-    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_WIDTH))
     _isolate()
 
     # --- ANN recall instrumentation (round-1 verdict #4/#9) ------------

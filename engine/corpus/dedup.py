@@ -449,12 +449,26 @@ def connected_components(
         nodes = edges.select(F.col("src").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("component"))
 
+    converged = False
     for _ in range(max_iter):
         stepped = chain_checkpoint(_cc_round(labels, edges), eager=True)
         if stepped.where(F.col("__changed")).limit(1).count() == 0:
             labels = stepped
+            converged = True
             break
         labels = stepped
+    if not converged:
+        # r4 ADVICE: a graph whose component diameter exceeds max_iter would
+        # otherwise return partially-propagated labels and the downstream
+        # keep-list would silently keep several docs per real cluster. Fail
+        # loudly — the caller raises max_iter (or swaps in star contraction,
+        # see docstring); wrong dedup labels must never look like success.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter > max_iter); raise max_iter — near-dup "
+            f"band-bucket graphs converge in 1-3 rounds, so this usually "
+            f"means an adversarial long-chain graph"
+        )
     return labels.select("node", "component")
 
 

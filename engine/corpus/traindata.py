@@ -281,6 +281,11 @@ def length_buckets(
     eff = F.least(ntok, max_edge)
     arr = F.array(*[F.lit(int(e)).cast("long") for e in edges])
     bucket = F.array_min(F.filter(arr, lambda e: e >= eff))
+    # r4 ADVICE: a null token count must not reach the bucketing expression —
+    # F.least skips nulls, so such a row silently landed in the max bucket
+    # with eff=max_edge, inflating its n_docs/sum_tokens. A null count is a
+    # broken upstream row: exclude it rather than mis-count it.
+    docs = docs.where(F.col(n_tokens_col).isNotNull())
     b = docs.select(
         bucket.alias("seq_bucket"),
         eff.alias("_eff"),

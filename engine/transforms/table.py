@@ -141,9 +141,16 @@ def quantile_sketch_gate(
     keys = _as_list(key)
     from pyspark.sql import Window
 
+    # r4 ADVICE: drop null values BEFORE ranking/counting. row_number
+    # orders nulls first and the window count included them — every rank
+    # shifted while percentile_approx silently ignored nulls, so exact and
+    # sketch would disagree on any null-bearing column. Both sides now see
+    # the same non-null multiset (a key that is all nulls drops out of the
+    # result rather than reporting ranks over nothing).
+    vals = df.select(*keys, col).where(F.col(col).isNotNull())
     w = Window.partitionBy(*keys).orderBy(F.col(col).asc())
     n = F.count(F.lit(1)).over(Window.partitionBy(*keys))
-    r = df.select(*keys, col).withColumn("_rn", F.row_number().over(w)).withColumn("_n", n)
+    r = vals.withColumn("_rn", F.row_number().over(w)).withColumn("_n", n)
     err = F.floor(F.col("_n") / accuracy) + 1
     picks = []
     for q in qs:

@@ -602,3 +602,17 @@ def test_connected_components_default_nodes_and_convergence(spark):
     rows = connected_components(pairs).collect()
     assert len(rows) == 10
     assert {r["component"] for r in rows} == {"n00"}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """r4 ADVICE: a component diameter beyond max_iter must FAIL, not return
+    partially-propagated labels — wrong dedup labels silently keep several
+    docs per real cluster."""
+    import pytest as _pytest
+
+    from engine.corpus.dedup import connected_components
+
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
