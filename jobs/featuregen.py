@@ -109,10 +109,15 @@ def main(argv=None):
     ap.add_argument("--output-partition-by", nargs="*", default=[],
                     help="extra hive-partition columns under the pid layout "
                          "(P4 pruning for downstream readers), e.g. source")
-    ap.add_argument("--stage-input", action="store_true",
+    ap.add_argument("--stage-input", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="write pid-partitioned input copies once under "
                          "<output>/_staged so chunk scans partition-prune "
-                         "instead of re-decoding the full input per chunk")
+                         "instead of re-decoding the full input per chunk. "
+                         "DEFAULT since r5: measured strictly better (30.6%% "
+                         "vs 40%% checkpoint overhead at 8M docs/4 chunks, "
+                         "BENCH/BASELINE.md); --no-stage-input is the escape "
+                         "hatch for outputs on write-expensive storage")
     ap.add_argument("--kill-after-chunks", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args(argv)

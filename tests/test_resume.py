@@ -146,3 +146,23 @@ def test_output_partitioned_by_source(spark, tmp_path):
 
         rec = _json.load(fh)
     assert rec["metrics"]["rows_out"] >= 0
+
+
+@pytest.mark.slow
+def test_stage_input_default_and_escape_hatch(tmp_path):
+    """r5 (r4 verdict #4): --stage-input is the DEFAULT — measured strictly
+    better (30.6% vs 40% checkpoint overhead) and it removes the per-chunk
+    full-input re-scan. The default run must leave the pid-partitioned
+    staged copies (with their completion markers); --no-stage-input must
+    not stage and still complete."""
+    staged = str(tmp_path / "staged")
+    r = _run(staged)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for side in ("probes", "state"):
+        assert os.path.exists(os.path.join(staged, "_staged", side, "_SUCCESS"))
+
+    nostage = str(tmp_path / "nostage")
+    r2 = _run(nostage, "--no-stage-input")
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert not os.path.exists(os.path.join(nostage, "_staged"))
+    assert "SUMMARY" in r2.stdout
