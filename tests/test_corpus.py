@@ -604,6 +604,45 @@ def test_connected_components_default_nodes_and_convergence(spark):
     assert {r["component"] for r in rows} == {"n00"}
 
 
+def test_connected_components_star_logn_rounds(spark):
+    """r5 (r4 verdict #7): the alternating-star fallback must close a
+    1023-node PATH graph — diameter 1022, the adversarial case for
+    min-label — within 20 alternations (2·log2(n)); min-label at the same
+    max_iter raises. Labels must match the min-reachable contract, and a
+    random multi-component graph must agree with min-label exactly."""
+    import pytest as _pytest
+
+    from engine.corpus.dedup import connected_components
+
+    n = 1023
+    chain = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=20)  # min-label needs diameter
+    rows = connected_components(pairs, max_iter=20, algorithm="star").collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+
+    # random graph with several components + a singleton from the universe
+    import random
+
+    rng = random.Random(5)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs2 = spark.createDataFrame(edges, ["id_a", "id_b"])
+    universe = spark.range(201).select(F.col("id").alias("node"))
+    a = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs2, nodes=universe).collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            pairs2, nodes=universe, algorithm="star"
+        ).collect()
+    }
+    assert a == b and (200, 200) in a  # node 200 can only be the singleton
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """r4 ADVICE: a component diameter beyond max_iter must FAIL, not return
     partially-propagated labels — wrong dedup labels silently keep several
