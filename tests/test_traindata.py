@@ -170,3 +170,20 @@ def test_length_buckets_matches_python(spark):
         r = got[b]
         assert (r.n_docs, r.sum_tokens, r.truncated_tokens) == (n_docs, sum_tok, trunc)
         assert r.pad_waste_frac == 1.0 - sum_tok / (b * n_docs)
+
+
+def test_length_buckets_excludes_null_counts(spark):
+    """r4 ADVICE regression: a null token count must be EXCLUDED, not
+    silently land in the max bucket (F.least skips nulls → eff=max_edge)."""
+    from engine.corpus.traindata import length_buckets
+
+    df = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 3000), (3, None)],
+        "doc_id long, n_tok long",
+    )
+    got = {r.seq_bucket: r for r in length_buckets(df, "n_tok").collect()}
+    assert set(got) == {16, 2048}
+    assert got[16].n_docs == 1 and got[16].sum_tokens == 10
+    # only the real 3000-token doc reaches the max bucket — not the nulls
+    assert got[2048].n_docs == 1 and got[2048].sum_tokens == 2048
+    assert got[2048].truncated_tokens == 3000 - 2048

@@ -165,3 +165,29 @@ def test_quantile_sketch_gate_matches_numpy(spark):
         assert r.p5_exact == vals[math.floor(0.5 * (n - 1))]
         assert r.p9_exact == vals[math.floor(0.9 * (n - 1))]
         assert r.approx_ok
+
+
+def test_quantile_sketch_gate_ignores_nulls(spark):
+    """r4 ADVICE regression: null values must not shift ranks or counts.
+    Exact quantiles come from the NON-null multiset (matching what
+    percentile_approx sees) and an all-null key drops out entirely."""
+    import math
+
+    from engine.transforms.table import quantile_sketch_gate
+
+    vals = list(range(100))
+    rows = (
+        [("a", v) for v in vals]
+        + [("a", None)] * 37          # nulls interleaved into a real key
+        + [("b", None)] * 5           # an all-null key
+    )
+    df = spark.createDataFrame(rows, "k string, cents long")
+    out = {r.k: r for r in quantile_sketch_gate(
+        df, "k", "cents", qs=(0.5, 0.9), accuracy=100).collect()}
+    assert set(out) == {"a"}, "all-null key must drop out, not report ranks"
+    n = len(vals)
+    r = out["a"]
+    assert r.n == n
+    assert r.p5_exact == sorted(vals)[math.floor(0.5 * (n - 1))]
+    assert r.p9_exact == sorted(vals)[math.floor(0.9 * (n - 1))]
+    assert r.approx_ok
